@@ -1,0 +1,145 @@
+"""Columnar data model: the fixed StructTypes every stage agrees on.
+
+The reference keeps RDF quads as arrays of RDF/JS term objects
+(``{termType, value, datatype?, language?}``; see reference
+src/services/RDFService.ts:46-56 and
+src/services/DataDiscoveryService.ts:103-106).  At Spark scale the same
+information is one long-format **triples table** with the term fields
+flattened to nullable string columns (SURVEY.md §1.3), and the
+``sh:ValidationReport`` result rows (reference src/types.ts:27-50)
+become a **violations table** with exactly the ``sh:ValidationResult``
+fields the north star requires (focusNode, resultPath,
+sourceConstraintComponent, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- RDF vocabulary constants (public W3C namespaces) -----------------------
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+SH = "http://www.w3.org/ns/shacl#"
+DCAT = "http://www.w3.org/ns/dcat#"
+DCT = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+SEVERITY_VIOLATION = "Violation"
+SEVERITY_WARNING = "Warning"
+SEVERITY_INFO = "Info"
+# severity sort rank — reference ValidationResults.tsx:189-193
+SEVERITY_RANK = {SEVERITY_VIOLATION: 0, SEVERITY_WARNING: 1, SEVERITY_INFO: 2}
+
+# Sentinel constraint components emitted for degenerate inputs —
+# reference SHACLValidationService.ts:359-396 & AppRouter.tsx:46-59.
+SENTINEL_NO_SHAPES = "system:NoShapes"
+SENTINEL_EMPTY_CONTENT = "system:EmptyContent"
+SENTINEL_PARSE_ERROR = "system:ParseError"
+
+# --- Triples table (the data graph) ----------------------------------------
+
+OBJECT_IRI = "iri"
+OBJECT_BNODE = "bnode"
+OBJECT_LITERAL = "literal"
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("object_value", T.StringType(), False),
+        T.StructField("object_type", T.StringType(), False),  # iri|bnode|literal
+        T.StructField("object_datatype", T.StringType(), True),
+        T.StructField("object_lang", T.StringType(), True),
+        T.StructField("graph", T.StringType(), True),  # source url
+    ]
+)
+
+TRIPLE_COLUMNS = [f.name for f in TRIPLE_SCHEMA.fields]
+
+# --- Violations table (sh:ValidationResult rows) ----------------------------
+
+MESSAGE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+)
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("focusNode", T.StringType(), True),
+        T.StructField("resultPath", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("message", MESSAGE_SCHEMA, True),
+        T.StructField("resultSeverity", T.StringType(), False),
+        T.StructField("sourceConstraintComponent", T.StringType(), True),
+        T.StructField("sourceShape", T.StringType(), True),
+    ]
+)
+
+VIOLATION_COLUMNS = [f.name for f in VIOLATION_SCHEMA.fields]
+
+# --- Pages table (Common-Crawl-style input; BASELINE.json input_hint) -------
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# --- Constraint table (compiled shapes graph; FIXTURES.md §3) ---------------
+
+CONSTRAINT_SCHEMA = T.StructType(
+    [
+        T.StructField("constraint_id", T.LongType(), False),
+        T.StructField("shape_iri", T.StringType(), False),
+        T.StructField("target_class", T.StringType(), False),
+        T.StructField("path", T.StringType(), True),  # rendered (F3): 'a/b', '(a | b)'
+        # evaluable form: sequence of steps, each step a set of alternative
+        # predicate IRIs — [[p]] for a direct path, [[a,b]] for (a | b),
+        # [[p],[q]] for p/q sequence paths
+        T.StructField("path_steps", T.ArrayType(T.ArrayType(T.StringType())), True),
+        T.StructField("min_count", T.IntegerType(), True),
+        T.StructField("max_count", T.IntegerType(), True),
+        T.StructField("datatype", T.StringType(), True),
+        T.StructField("node_kind", T.StringType(), True),  # IRI|Literal|BlankNode
+        T.StructField("pattern", T.StringType(), True),
+        T.StructField("flags", T.StringType(), True),
+        T.StructField("in_list", T.ArrayType(T.StringType()), True),
+        T.StructField("class_iri", T.StringType(), True),
+        T.StructField("min_inclusive", T.DoubleType(), True),
+        T.StructField("max_inclusive", T.DoubleType(), True),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("messages", MESSAGE_SCHEMA, True),
+        T.StructField("foaf_page", T.StringType(), True),
+    ]
+)
+
+# --- Lineage / checkpoint tables (BASELINE.json north_rule) ------------------
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_key", T.StringType(), False),
+        T.StructField("src_url_count", T.LongType(), False),
+        T.StructField("triples_in", T.LongType(), False),
+        T.StructField("triples_valid", T.LongType(), False),
+        T.StructField("violations", T.LongType(), False),
+        T.StructField("started_at", T.StringType(), False),
+        T.StructField("finished_at", T.StringType(), False),
+    ]
+)
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_key", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # done
+    ]
+)

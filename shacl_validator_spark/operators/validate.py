@@ -1,0 +1,415 @@
+"""SHACL rule executor: constraint table × triples table → violations table.
+
+This replaces the reference's entire ``shacl-engine`` dependency
+(reference src/services/SHACLValidationService.ts:398-408) with pure
+DataFrame operations — the central design decision of SURVEY.md §2.10:
+validation compiles to joins and aggregations, no per-row Python anywhere.
+
+Scale notes (the plan that must survive 100 TB):
+- the constraint table is always KBs → **every** join against it is an
+  explicit ``F.broadcast`` (no shuffle of the big side on those joins);
+- targeting (`sh:targetClass`) is one shuffle of the type sub-relation on
+  ``(constraint_id, focusNode)``; value lookup is one broadcast join of the
+  triples table on ``predicate`` (map-side); the single big-big shuffle is
+  targets ⟕ values on ``(constraint_id, focusNode)`` — AQE skew-join
+  handles hub focus nodes;
+- minCount uses the **targets-side left join** so focus nodes with zero
+  values are detected (the classic join-SHACL bug, SURVEY.md §7.3);
+- counts use map-side partial aggregation (plain ``groupBy().agg``).
+
+Violation rows reproduce the reference's ``sh:ValidationResult`` fields
+(src/types.ts:27-39): focusNode, resultPath, value, message[],
+resultSeverity, sourceConstraintComponent, sourceShape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    CONSTRAINT_SCHEMA,
+    RDF_TYPE,
+    SENTINEL_EMPTY_CONTENT,
+    SENTINEL_NO_SHAPES,
+    SEVERITY_VIOLATION,
+    SH,
+    VIOLATION_COLUMNS,
+    VIOLATION_SCHEMA,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_NODE_KIND_SETS = {
+    "IRI": ["iri"],
+    "Literal": ["literal"],
+    "BlankNode": ["bnode"],
+    "BlankNodeOrIRI": ["bnode", "iri"],
+    "BlankNodeOrLiteral": ["bnode", "literal"],
+    "IRIOrLiteral": ["iri", "literal"],
+}
+
+
+def _component(name: str) -> str:
+    return SH + name + "ConstraintComponent"
+
+
+def _message_col() -> F.Column:
+    """Constraint messages, else the reference's default message —
+    ``Validation issue at {path} with value {v}``
+    (SHACLValidationService.ts:276-292)."""
+    return F.when(
+        F.col("messages").isNotNull() & (F.size("messages") > 0), F.col("messages")
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.format_string(
+                    "Validation issue at %s with value %s",
+                    F.coalesce(F.col("path"), F.lit("(node)")),
+                    F.coalesce(F.col("object_value"), F.lit("(none)")),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+    )
+
+
+def _as_violations(df: DataFrame, component: str, value_col: F.Column) -> DataFrame:
+    """Project rule survivors into the sh:ValidationResult column set."""
+    return df.select(
+        F.col("focusNode"),
+        F.col("path").alias("resultPath"),
+        value_col.cast("string").alias("value"),
+        _message_col().alias("message"),
+        F.col("severity").alias("resultSeverity"),
+        F.lit(component).alias("sourceConstraintComponent"),
+        F.col("shape_iri").alias("sourceShape"),
+    )
+
+
+@dataclass
+class ValidationReport:
+    """Typed result mirroring the reference's SHACLReport (src/types.ts:41-50),
+    with severity *partition* realized as one DataFrame + a severity column
+    (SURVEY.md §1.3)."""
+
+    conforms: bool
+    results: DataFrame  # all severities; filter on resultSeverity
+    total_violations: int
+
+
+def _effective_datatype() -> F.Column:
+    return F.when(F.col("object_lang").isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(
+        F.coalesce(F.col("object_datatype"), F.lit(XSD + "string"))
+    )
+
+
+def _lexically_valid() -> F.Column:
+    """Lexical-form validity for common XSD types: the cast-null-out trick
+    (SURVEY.md §2.8 DatatypeConstraintComponent)."""
+    dt = F.col("datatype")
+    v = F.col("object_value")
+    return (
+        F.when(
+            dt.isin(XSD + "integer", XSD + "int", XSD + "long", XSD + "nonNegativeInteger"),
+            v.cast("long").isNotNull(),
+        )
+        .when(dt.isin(XSD + "decimal", XSD + "double", XSD + "float"), v.cast("double").isNotNull())
+        .when(dt == XSD + "boolean", F.lower(v).isin("true", "false", "0", "1"))
+        .when(dt == XSD + "dateTime", F.to_timestamp(v).isNotNull())
+        .when(dt == XSD + "date", F.to_date(v).isNotNull())
+        .otherwise(F.lit(True))
+    )
+
+
+def validate(
+    spark: SparkSession,
+    triples: DataFrame,
+    constraint_rows: list[dict],
+) -> DataFrame:
+    """Run every compiled constraint against the triples table.
+
+    Returns the violations DataFrame (VIOLATION_SCHEMA).  ``constraint_rows``
+    is the driver-side output of ``shapes.compile_shapes`` — kept as rows so
+    path-evaluation structure (number of steps) is known at plan-build time.
+    """
+    if not constraint_rows:
+        return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+    cons = F.broadcast(spark.createDataFrame(constraint_rows, schema=CONSTRAINT_SCHEMA))
+
+    # --- targeting: sh:targetClass focus-node selection (J6) ---------------
+    types = (
+        triples.filter(F.col("predicate") == RDF_TYPE)
+        .select(F.col("subject"), F.col("object_value").alias("cls"))
+        .dropDuplicates()
+    )
+    target_classes = cons.select("constraint_id", "target_class").dropDuplicates()
+    targets = (
+        types.join(
+            F.broadcast(target_classes),
+            types["cls"] == target_classes["target_class"],
+        )
+        .select("constraint_id", F.col("subject").alias("focusNode"))
+        .dropDuplicates()
+    )
+
+    # --- path value lookup ---------------------------------------------------
+    # Fast path: single-step paths (the overwhelming majority) — one
+    # broadcast join of the triples table on predicate, map-side only.
+    max_steps = max(len(r["path_steps"]) for r in constraint_rows)
+    step1 = [
+        (r["constraint_id"], p)
+        for r in constraint_rows
+        if len(r["path_steps"]) == 1
+        for p in r["path_steps"][0]
+    ]
+    vals_parts: list[DataFrame] = []
+    if step1:
+        s1 = F.broadcast(
+            spark.createDataFrame(step1, schema="constraint_id long, step_pred string")
+        )
+        vals_parts.append(
+            triples.join(s1, triples["predicate"] == s1["step_pred"]).select(
+                "constraint_id",
+                F.col("subject").alias("focusNode"),
+                "object_value",
+                "object_type",
+                "object_datatype",
+                "object_lang",
+            )
+        )
+
+    # General path: sequence paths evaluated as successive joins from the
+    # target frontier (reference renders them at
+    # SHACLValidationService.ts:207-247; evaluation per SHACL property paths).
+    for n_steps in range(2, max_steps + 1):
+        ids = [r["constraint_id"] for r in constraint_rows if len(r["path_steps"]) == n_steps]
+        if not ids:
+            continue
+        frontier = targets.filter(F.col("constraint_id").isin(ids)).select(
+            "constraint_id", "focusNode", F.col("focusNode").alias("node")
+        )
+        for step_idx in range(n_steps):
+            steps_rows = [
+                (r["constraint_id"], p)
+                for r in constraint_rows
+                if len(r["path_steps"]) == n_steps
+                for p in r["path_steps"][step_idx]
+            ]
+            sdf = F.broadcast(
+                spark.createDataFrame(steps_rows, schema="cid long, step_pred string")
+            )
+            hop = triples.join(sdf, triples["predicate"] == sdf["step_pred"]).select(
+                F.col("cid"),
+                F.col("subject").alias("hop_subject"),
+                F.col("object_value").alias("hop_value"),
+                F.col("object_type").alias("hop_type"),
+                F.col("object_datatype").alias("hop_datatype"),
+                F.col("object_lang").alias("hop_lang"),
+            )
+            frontier = (
+                frontier.join(
+                    hop,
+                    (frontier["constraint_id"] == hop["cid"])
+                    & (frontier["node"] == hop["hop_subject"]),
+                )
+                .select(
+                    "constraint_id",
+                    "focusNode",
+                    F.col("hop_value").alias("node"),
+                    F.col("hop_type").alias("object_type"),
+                    F.col("hop_datatype").alias("object_datatype"),
+                    F.col("hop_lang").alias("object_lang"),
+                )
+            )
+        vals_parts.append(
+            frontier.select(
+                "constraint_id",
+                "focusNode",
+                F.col("node").alias("object_value"),
+                "object_type",
+                "object_datatype",
+                "object_lang",
+            )
+        )
+
+    if vals_parts:
+        vals = vals_parts[0]
+        for part in vals_parts[1:]:
+            vals = vals.unionByName(part)
+    else:
+        vals = spark.createDataFrame(
+            [],
+            "constraint_id long, focusNode string, object_value string, "
+            "object_type string, object_datatype string, object_lang string",
+        )
+
+    # restrict values to targeted focus nodes; single big-big shuffle on
+    # (constraint_id, focusNode)
+    tv = targets.join(vals, ["constraint_id", "focusNode"], "left")
+    facet_cols = [
+        "path",
+        "min_count",
+        "max_count",
+        "datatype",
+        "node_kind",
+        "pattern",
+        "in_list",
+        "class_iri",
+        "min_inclusive",
+        "max_inclusive",
+        "severity",
+        "messages",
+        "shape_iri",
+    ]
+    tvf = tv.join(F.broadcast(cons.select("constraint_id", *facet_cols)), "constraint_id")
+
+    out: list[DataFrame] = []
+
+    # --- cardinality rules (A9): targets-side left join ⇒ zero counts seen --
+    counts = (
+        tvf.filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
+        .groupBy("constraint_id", "focusNode")
+        .agg(
+            F.count("object_value").alias("n_values"),
+            *[F.first(c).alias(c) for c in facet_cols],
+        )
+    )
+    out.append(
+        _as_violations(
+            counts.filter(
+                F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count"))
+            ).withColumn("object_value", F.lit(None).cast("string")),
+            _component("MinCount"),
+            F.lit(None),
+        )
+    )
+    out.append(
+        _as_violations(
+            counts.filter(
+                F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count"))
+            ).withColumn("object_value", F.lit(None).cast("string")),
+            _component("MaxCount"),
+            F.lit(None),
+        )
+    )
+
+    values = tvf.filter(F.col("object_value").isNotNull())
+
+    # --- sh:datatype ---------------------------------------------------------
+    dt_bad = values.filter(F.col("datatype").isNotNull()).filter(
+        (F.col("object_type") != "literal")
+        | (_effective_datatype() != F.col("datatype"))
+        | ~_lexically_valid()
+    )
+    out.append(_as_violations(dt_bad, _component("Datatype"), F.col("object_value")))
+
+    # --- sh:pattern (Java-regex rlike; pattern pre-compiled per F1) ----------
+    pat_bad = values.filter(F.col("pattern").isNotNull()).filter(
+        (F.col("object_type") == "bnode")
+        | ~F.regexp_like(F.col("object_value"), F.col("pattern"))
+    )
+    out.append(_as_violations(pat_bad, _component("Pattern"), F.col("object_value")))
+
+    # --- sh:nodeKind ----------------------------------------------------------
+    nk = values.filter(F.col("node_kind").isNotNull())
+    nk_bad_parts = []
+    for kind, allowed in _NODE_KIND_SETS.items():
+        nk_bad_parts.append(
+            nk.filter(F.col("node_kind") == kind).filter(~F.col("object_type").isin(allowed))
+        )
+    nk_bad = nk_bad_parts[0]
+    for p in nk_bad_parts[1:]:
+        nk_bad = nk_bad.unionByName(p)
+    out.append(_as_violations(nk_bad, _component("NodeKind"), F.col("object_value")))
+
+    # --- sh:in (vocabulary membership) ----------------------------------------
+    in_bad = values.filter(F.col("in_list").isNotNull()).filter(
+        ~F.array_contains(F.col("in_list"), F.col("object_value"))
+    )
+    out.append(_as_violations(in_bad, _component("In"), F.col("object_value")))
+
+    # --- sh:minInclusive / sh:maxInclusive -------------------------------------
+    num = F.col("object_value").cast("double")
+    rng = values.filter(
+        F.col("min_inclusive").isNotNull() | F.col("max_inclusive").isNotNull()
+    )
+    rng_min_bad = rng.filter(F.col("min_inclusive").isNotNull()).filter(
+        num.isNull() | (num < F.col("min_inclusive"))
+    )
+    rng_max_bad = rng.filter(F.col("max_inclusive").isNotNull()).filter(
+        num.isNull() | (num > F.col("max_inclusive"))
+    )
+    out.append(_as_violations(rng_min_bad, _component("MinInclusive"), F.col("object_value")))
+    out.append(_as_violations(rng_max_bad, _component("MaxInclusive"), F.col("object_value")))
+
+    # --- sh:class: left anti join of value nodes vs type triples (J6) ---------
+    cls_vals = values.filter(F.col("class_iri").isNotNull()).filter(
+        F.col("object_type").isin("iri", "bnode")
+    )
+    typed = types.select(
+        F.col("subject").alias("val_node"), F.col("cls").alias("val_cls")
+    )
+    cls_bad = (
+        cls_vals.join(
+            typed,
+            (cls_vals["object_value"] == typed["val_node"])
+            & (cls_vals["class_iri"] == typed["val_cls"]),
+            "left",
+        )
+        .filter(F.col("val_node").isNull())
+    )
+    cls_lit = values.filter(F.col("class_iri").isNotNull()).filter(
+        F.col("object_type") == "literal"
+    )
+    out.append(_as_violations(cls_bad, _component("Class"), F.col("object_value")))
+    out.append(_as_violations(cls_lit, _component("Class"), F.col("object_value")))
+
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionByName(part)
+    return result.select(*VIOLATION_COLUMNS)
+
+
+def _sentinel(spark: SparkSession, component: str, text: str) -> DataFrame:
+    """Synthetic 1-violation report for degenerate inputs — exact sentinel
+    component strings kept for report parity
+    (reference SHACLValidationService.ts:359-396, AppRouter.tsx:46-59)."""
+    row = (
+        None,
+        None,
+        None,
+        [{"text": text, "lang": "en"}],
+        SEVERITY_VIOLATION,
+        component,
+        None,
+    )
+    return spark.createDataFrame([row], VIOLATION_SCHEMA)
+
+
+def validate_report(
+    spark: SparkSession,
+    triples: DataFrame,
+    constraint_rows: list[dict],
+) -> ValidationReport:
+    """Full report path: sentinels + rules + conforms flag.
+
+    Mirrors ``SHACLValidationService.validateRDF``
+    (reference SHACLValidationService.ts:339-424): empty-shapes and
+    empty-data sentinels first, then engine run, then severity partition.
+    ``conforms`` is true iff there are no Violation-severity results
+    (SURVEY.md §2.4 A10).
+    """
+    if not constraint_rows:
+        results = _sentinel(spark, SENTINEL_NO_SHAPES, "No SHACL shapes available")
+        return ValidationReport(False, results, 1)
+    if triples.isEmpty():
+        results = _sentinel(spark, SENTINEL_EMPTY_CONTENT, "Empty RDF content")
+        return ValidationReport(False, results, 1)
+    results = validate(spark, triples, constraint_rows)
+    n_viol = results.filter(F.col("resultSeverity") == SEVERITY_VIOLATION).count()
+    return ValidationReport(n_viol == 0, results, n_viol)

@@ -1,0 +1,505 @@
+"""SHACL shape compiler: Turtle shapes graph → broadcastable constraint table.
+
+The reference fetches profile shape files, parses them with N3, unions the
+quads, and hands the dataset to ``shacl-engine``
+(reference src/services/SHACLValidationService.ts:101-158, 398-408).  Here the
+same shapes graph is compiled **once, driver-side** into one row per
+property-shape constraint (FIXTURES.md §3); the executor-side validator
+(operators/validate.py) is pure DataFrame joins/aggs against that broadcast
+table — no RDF library and no per-row Python on executors.
+
+Includes:
+- a minimal Turtle-subset parser (shapes are KBs; prefixes, prefixed names,
+  IRIs, literals with lang/datatype, blank-node property lists, RDF
+  collections, ``a``, ``;``/``,`` continuation) — replaces the reference's
+  N3 parser for the driver-side-only shape files
+  (reference src/services/RDFService.ts:42-58),
+- the sh:pattern regex dialect translation (reference rewrites PCRE dotall
+  for JS at SHACLValidationService.ts:76-99; Spark ``rlike`` is Java regex,
+  which supports inline ``(?s)`` natively, so the translation embeds
+  sh:flags as an inline group instead),
+- SHACL path rendering — sequence parts joined ``/``, alternatives
+  ``(a | b)`` (reference SHACLValidationService.ts:207-247).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import CONSTRAINT_SCHEMA, RDF_TYPE, SH
+
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+# --------------------------------------------------------------------------
+# Turtle-subset parser (driver-side only; shapes graphs are KBs)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Term:
+    kind: str  # 'iri' | 'bnode' | 'literal'
+    value: str
+    datatype: str | None = None
+    lang: str | None = None
+
+
+@dataclass
+class ParsedGraph:
+    """Tiny in-memory triple index with the lookups the compiler needs."""
+
+    triples: list[tuple[str, str, Term]] = field(default_factory=list)
+
+    def objects(self, subject: str, predicate: str) -> list[Term]:
+        return [o for s, p, o in self.triples if s == subject and p == predicate]
+
+    def first(self, subject: str, predicate: str) -> Term | None:
+        objs = self.objects(subject, predicate)
+        return objs[0] if objs else None
+
+    def subjects_with(self, predicate: str) -> list[str]:
+        seen: dict[str, None] = {}
+        for s, p, _ in self.triples:
+            if p == predicate:
+                seen.setdefault(s)
+        return list(seen)
+
+    def rdf_list(self, head: str) -> list[Term]:
+        """Expand an rdf:first/rdf:rest collection starting at ``head``."""
+        out: list[Term] = []
+        node = head
+        for _ in range(10_000):  # cycle guard
+            if node == RDF_NIL:
+                return out
+            first = self.first(node, RDF_FIRST)
+            rest = self.first(node, RDF_REST)
+            if first is None:
+                return out
+            out.append(first)
+            node = rest.value if rest is not None else RDF_NIL
+        return out
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<iri><[^>]*>)
+    | (?P<string>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|"(?:[^"\\\n]|\\.)*")
+    | (?P<kw>@prefix|@base|\btrue\b|\bfalse\b)
+    | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
+    | (?P<dtype>\^\^)
+    | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[\w%-]|\.(?=[\w%-])|\\.)*)
+    | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<a>\ba\b)
+    | (?P<punct>[\[\]();,.])
+    | (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    "t": "\t",
+    "n": "\n",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    '"': '"',
+    "'": "'",
+    "\\": "\\",
+}
+
+
+def _unescape(s: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if n == "U" and i + 9 < len(s):
+                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            if m.start() != pos:
+                raise ValueError(f"turtle: unexpected char at {pos}: {text[pos:pos+20]!r}")
+            pos = m.end()
+            kind = m.lastgroup
+            if kind in ("ws", "comment"):
+                continue
+            self.toks.append((kind or "pname", m.group(0)))
+        if pos != len(text):
+            raise ValueError(f"turtle: unexpected char at {pos}: {text[pos:pos+20]!r}")
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+
+class _TurtleParser:
+    def __init__(self, text: str, bnode_prefix: str = "_:b"):
+        self.tk = _Tokens(text)
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.bnode_prefix = bnode_prefix
+        self.bnode_n = 0
+        self.out: list[tuple[str, str, Term]] = []
+
+    def fresh_bnode(self) -> str:
+        self.bnode_n += 1
+        return f"{self.bnode_prefix}{self.bnode_n}"
+
+    def parse(self) -> ParsedGraph:
+        while self.tk.peek() is not None:
+            kind, val = self.tk.peek()  # type: ignore[misc]
+            if val == "@prefix":
+                self.tk.next()
+                _, pname = self.tk.next()  # 'pfx:'
+                _, iri = self.tk.next()
+                self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
+                self._expect(".")
+            elif val == "@base":
+                self.tk.next()
+                _, iri = self.tk.next()
+                self.base = iri[1:-1]
+                self._expect(".")
+            else:
+                self._triples_block()
+        return ParsedGraph(self.out)
+
+    def _expect(self, punct: str) -> None:
+        kind, val = self.tk.next()
+        if val != punct:
+            raise ValueError(f"turtle: expected {punct!r}, got {val!r}")
+
+    def _triples_block(self) -> None:
+        subj = self._subject()
+        self._predicate_object_list(subj)
+        self._expect(".")
+
+    def _subject(self) -> str:
+        kind, val = self.tk.peek()  # type: ignore[misc]
+        if val == "[":
+            return self._bnode_property_list()
+        if val == "(":
+            return self._collection().value
+        term = self._term()
+        return term.value
+
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object()
+                self.out.append((subj, pred, obj))
+                nxt = self.tk.peek()
+                if nxt is not None and nxt[1] == ",":
+                    self.tk.next()
+                    continue
+                break
+            nxt = self.tk.peek()
+            if nxt is not None and nxt[1] == ";":
+                self.tk.next()
+                nxt2 = self.tk.peek()
+                # trailing ';' before '.' or ']'
+                if nxt2 is not None and nxt2[1] in (".", "]", ";"):
+                    while nxt2 is not None and nxt2[1] == ";":
+                        self.tk.next()
+                        nxt2 = self.tk.peek()
+                    if nxt2 is not None and nxt2[1] in (".", "]"):
+                        return
+                continue
+            return
+
+    def _predicate(self) -> str:
+        kind, val = self.tk.peek()  # type: ignore[misc]
+        if val == "a":
+            self.tk.next()
+            return RDF_TYPE
+        return self._term().value
+
+    def _object(self) -> Term:
+        kind, val = self.tk.peek()  # type: ignore[misc]
+        if val == "[":
+            return Term("bnode", self._bnode_property_list())
+        if val == "(":
+            return self._collection()
+        return self._term()
+
+    def _bnode_property_list(self) -> str:
+        self._expect("[")
+        node = self.fresh_bnode()
+        nxt = self.tk.peek()
+        if nxt is not None and nxt[1] == "]":
+            self.tk.next()
+            return node
+        self._predicate_object_list(node)
+        self._expect("]")
+        return node
+
+    def _collection(self) -> Term:
+        self._expect("(")
+        items: list[Term] = []
+        while True:
+            nxt = self.tk.peek()
+            if nxt is None:
+                raise ValueError("turtle: unterminated collection")
+            if nxt[1] == ")":
+                self.tk.next()
+                break
+            items.append(self._object())
+        if not items:
+            return Term("iri", RDF_NIL)
+        head = self.fresh_bnode()
+        node = head
+        for i, item in enumerate(items):
+            self.out.append((node, RDF_FIRST, item))
+            if i == len(items) - 1:
+                self.out.append((node, RDF_REST, Term("iri", RDF_NIL)))
+            else:
+                nxt_node = self.fresh_bnode()
+                self.out.append((node, RDF_REST, Term("bnode", nxt_node)))
+                node = nxt_node
+        return Term("bnode", head)
+
+    def _term(self) -> Term:
+        kind, val = self.tk.next()
+        if kind == "iri":
+            iri = _unescape(val[1:-1])
+            if self.base and not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", iri):
+                iri = self.base + iri
+            return Term("iri", iri)
+        if kind == "string":
+            raw = val[3:-3] if val.startswith('"""') else val[1:-1]
+            text = _unescape(raw)
+            nxt = self.tk.peek()
+            if nxt is not None and nxt[0] == "langtag":
+                self.tk.next()
+                return Term("literal", text, lang=nxt[1][1:])
+            if nxt is not None and nxt[0] == "dtype":
+                self.tk.next()
+                dt = self._term()
+                return Term("literal", text, datatype=dt.value)
+            return Term("literal", text, datatype="http://www.w3.org/2001/XMLSchema#string")
+        if kind == "number":
+            dt = (
+                "http://www.w3.org/2001/XMLSchema#integer"
+                if re.fullmatch(r"[+-]?\d+", val)
+                else "http://www.w3.org/2001/XMLSchema#decimal"
+            )
+            return Term("literal", val, datatype=dt)
+        if val in ("true", "false"):
+            return Term("literal", val, datatype="http://www.w3.org/2001/XMLSchema#boolean")
+        if val == "a":
+            return Term("iri", RDF_TYPE)
+        if ":" in val:  # prefixed name, possibly '_:bnode'
+            pfx, _, local = val.partition(":")
+            if pfx == "_":
+                return Term("bnode", val)
+            if pfx not in self.prefixes:
+                raise ValueError(f"turtle: unknown prefix {pfx!r}")
+            return Term("iri", self.prefixes[pfx] + _unescape(local))
+        raise ValueError(f"turtle: unexpected token {val!r}")
+
+
+def parse_turtle(text: str, bnode_prefix: str = "_:b") -> ParsedGraph:
+    """Parse a Turtle subset into an in-memory graph (driver-side only)."""
+    return _TurtleParser(text, bnode_prefix).parse()
+
+
+# --------------------------------------------------------------------------
+# Pattern + path compilation
+# --------------------------------------------------------------------------
+
+
+def compile_pattern(pattern: str, flags: str | None = None) -> str:
+    """Translate a sh:pattern (PCRE-ish) for Spark ``rlike`` (Java regex).
+
+    The reference rewrites inline-dotall PCRE for the JS engine
+    (SHACLValidationService.ts:76-99: ``(?s)^a.*b$`` → ``^a[\\s\\S]*b$``).
+    Java regex supports ``(?s)`` natively, so no body rewrite is needed;
+    sh:flags are embedded as an inline group since ``rlike`` takes none.
+    """
+    if flags:
+        valid = "".join(f for f in flags if f in "imsxuU")
+        if valid:
+            return f"(?{valid}){pattern}"
+    return pattern
+
+
+def render_path(steps: list[list[str]]) -> str:
+    """Render path steps for reports: sequences ``a/b``, alternatives
+    ``(a | b)`` — reference SHACLValidationService.ts:207-247."""
+    parts = []
+    for alts in steps:
+        if len(alts) == 1:
+            parts.append(alts[0])
+        else:
+            parts.append("(" + " | ".join(alts) + ")")
+    return "/".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Shapes graph → constraint rows
+# --------------------------------------------------------------------------
+
+
+def _severity_of(term: Term | None) -> str:
+    """sh:severity IRI → enum by substring — reference
+    SHACLValidationService.ts:294-299 (warning/info/else Violation)."""
+    if term is None:
+        return "Violation"
+    v = term.value.lower()
+    if "warning" in v:
+        return "Warning"
+    if "info" in v:
+        return "Info"
+    return "Violation"
+
+
+def _path_steps(g: ParsedGraph, path_term: Term) -> list[list[str]]:
+    """Resolve sh:path into evaluable steps.
+
+    Direct IRI → one step; rdf:list → sequence; node with
+    sh:alternativePath list → one multi-alternative step.
+    """
+    if path_term.kind == "iri":
+        return [[path_term.value]]
+    node = path_term.value
+    alt = g.first(node, SH + "alternativePath")
+    if alt is not None:
+        alts = g.rdf_list(alt.value)
+        return [[t.value for t in alts]]
+    seq = g.rdf_list(node)
+    if seq:
+        steps: list[list[str]] = []
+        for t in seq:
+            steps.extend(_path_steps(g, t))
+        return steps
+    return [[node]]
+
+
+def _int_of(term: Term | None) -> int | None:
+    if term is None:
+        return None
+    try:
+        return int(term.value)
+    except ValueError:
+        return None
+
+
+def _float_of(term: Term | None) -> float | None:
+    if term is None:
+        return None
+    try:
+        return float(term.value)
+    except ValueError:
+        return None
+
+
+def compile_shapes(ttl: str) -> list[dict]:
+    """Compile a Turtle shapes graph into constraint-table rows.
+
+    One output row per (node-shape target, property-shape constraint
+    facet) — the long form lets each SHACL component be one DataFrame
+    rule (SURVEY.md §2.8).  foaf:page doc links on shapes are carried
+    onto rows (reference SHACLValidationService.ts:36,249-269).
+    """
+    g = parse_turtle(ttl)
+    rows: list[dict] = []
+    cid = 0
+    for shape in g.subjects_with(SH + "targetClass"):
+        target_classes = [t.value for t in g.objects(shape, SH + "targetClass")]
+        foaf_page_t = g.first(shape, "http://xmlns.com/foaf/0.1/page")
+        foaf_page = foaf_page_t.value if foaf_page_t is not None else None
+        for prop_t in g.objects(shape, SH + "property"):
+            prop = prop_t.value
+            path_t = g.first(prop, SH + "path")
+            if path_t is None:
+                continue
+            steps = _path_steps(g, path_t)
+            rendered = render_path(steps)
+            severity = _severity_of(g.first(prop, SH + "severity"))
+            messages = [
+                {"text": m.value, "lang": (m.lang.lower().split("-")[0] if m.lang else None)}
+                for m in g.objects(prop, SH + "message")
+            ]
+            pattern_t = g.first(prop, SH + "pattern")
+            flags_t = g.first(prop, SH + "flags")
+            in_t = g.first(prop, SH + "in")
+            dt_t = g.first(prop, SH + "datatype")
+            nk_t = g.first(prop, SH + "nodeKind")
+            cls_t = g.first(prop, SH + "class")
+            # foaf:page may also sit on the property shape itself
+            pp_t = g.first(prop, "http://xmlns.com/foaf/0.1/page")
+            for src_shape in [shape]:
+                for tc in target_classes:
+                    cid += 1
+                    rows.append(
+                        {
+                            "constraint_id": cid,
+                            "shape_iri": src_shape if prop.startswith("_:") else prop,
+                            "target_class": tc,
+                            "path": rendered,
+                            "path_steps": steps,
+                            "min_count": _int_of(g.first(prop, SH + "minCount")),
+                            "max_count": _int_of(g.first(prop, SH + "maxCount")),
+                            "datatype": dt_t.value if dt_t is not None else None,
+                            "node_kind": (
+                                nk_t.value.rsplit("#", 1)[-1] if nk_t is not None else None
+                            ),
+                            "pattern": (
+                                compile_pattern(pattern_t.value, flags_t.value if flags_t else None)
+                                if pattern_t is not None
+                                else None
+                            ),
+                            "flags": flags_t.value if flags_t is not None else None,
+                            "in_list": (
+                                [t.value for t in g.rdf_list(in_t.value)]
+                                if in_t is not None
+                                else None
+                            ),
+                            "class_iri": cls_t.value if cls_t is not None else None,
+                            "min_inclusive": _float_of(g.first(prop, SH + "minInclusive")),
+                            "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
+                            "severity": severity,
+                            "messages": messages or None,
+                            "foaf_page": (pp_t.value if pp_t is not None else foaf_page),
+                        }
+                    )
+    return rows
+
+
+def constraints_df(spark: SparkSession, ttl_or_rows: str | list[dict]) -> DataFrame:
+    """Constraint rows → small DataFrame ready for ``F.broadcast``.
+
+    Shapes are KBs while data is TBs (SURVEY.md §1.3) — every validator
+    join against this table must be a broadcast join.
+    """
+    rows = compile_shapes(ttl_or_rows) if isinstance(ttl_or_rows, str) else ttl_or_rows
+    return spark.createDataFrame(rows, schema=CONSTRAINT_SCHEMA)

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+from shacl_validator_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="shacl_validator_spark_tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_ORACLE = "/root/testdata/sf0.01"

@@ -1,0 +1,156 @@
+"""Golden-fixture tests for the DataFrame SHACL rule executor.
+
+For each constraint component: one conforming and ≥1 violating fixture,
+asserting the exact (focusNode, resultPath, sourceConstraintComponent,
+resultSeverity) rows and the conforms flag (SURVEY.md §5.2) — the cases the
+reference guide documents as worked examples
+(reference src/components/Guide/EducationalContent.tsx:65-91).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.model import (
+    SENTINEL_EMPTY_CONTENT,
+    SENTINEL_NO_SHAPES,
+    SH,
+)
+from shacl_validator_spark.operators.validate import validate, validate_report
+from shacl_validator_spark.shapes import compile_shapes, profile_shapes_ttl
+from shacl_validator_spark.sources import triples_from_turtle
+
+from . import fixtures_data as FX
+
+EX = "http://example.org/data#"
+DCAT = "http://www.w3.org/ns/dcat#"
+DCT = "http://purl.org/dc/terms/"
+
+
+@pytest.fixture(scope="module")
+def shapes():
+    return compile_shapes(profile_shapes_ttl("mini_dcat_ap"))
+
+
+def run(spark, shapes, ttl):
+    triples = triples_from_turtle(spark, ttl, graph="test://fixture")
+    report = validate_report(spark, triples, shapes)
+    rows = report.results.collect()
+    return report, rows
+
+
+def test_ok_catalog_conforms(spark, shapes):
+    report, rows = run(spark, shapes, FX.OK_CATALOG)
+    assert report.conforms, [r.asDict() for r in rows]
+    assert rows == []
+
+
+def test_min_count(spark, shapes):
+    report, rows = run(spark, shapes, FX.MISSING_DATASET)
+    assert not report.conforms
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.focusNode == EX + "catalog"
+    assert r.resultPath == DCAT + "dataset"
+    assert r.sourceConstraintComponent == SH + "MinCountConstraintComponent"
+    assert r.resultSeverity == "Violation"
+    # constraint-supplied message is carried through (golden example text)
+    assert {m.text for m in r.message} == {"Less than 1 values on dcat:dataset"}
+
+
+def test_max_count(spark, shapes):
+    report, rows = run(spark, shapes, FX.TOO_MANY_TITLES)
+    comps = {(r.sourceConstraintComponent, r.focusNode) for r in rows}
+    assert (SH + "MaxCountConstraintComponent", EX + "ds1") in comps
+    assert all(r.sourceConstraintComponent == SH + "MaxCountConstraintComponent" for r in rows)
+
+
+def test_pattern_warning(spark, shapes):
+    report, rows = run(spark, shapes, FX.BAD_IDENTIFIER)
+    assert report.conforms  # warning-only → conforms stays true (A10)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.focusNode == EX + "ds1"
+    assert r.resultPath == DCAT + "identifier"
+    assert r.value == "ABC-123"
+    assert r.sourceConstraintComponent == SH + "PatternConstraintComponent"
+    assert r.resultSeverity == "Warning"
+
+
+def test_datatype(spark, shapes):
+    report, rows = run(spark, shapes, FX.WRONG_DATATYPE)
+    assert not report.conforms
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.resultPath == DCT + "issued"
+    assert r.sourceConstraintComponent == SH + "DatatypeConstraintComponent"
+    assert r.value == "yesterday"
+
+
+def test_class(spark, shapes):
+    report, rows = run(spark, shapes, FX.PUBLISHER_UNTYPED)
+    assert not report.conforms
+    r = [x for x in rows if x.sourceConstraintComponent == SH + "ClassConstraintComponent"]
+    assert len(r) == 1
+    assert r[0].focusNode == EX + "ds1"
+    assert r[0].value == EX + "mystery"
+
+
+def test_node_kind(spark, shapes):
+    report, rows = run(spark, shapes, FX.LITERAL_ACCESS_URL)
+    assert not report.conforms
+    comps = {r.sourceConstraintComponent for r in rows}
+    assert SH + "NodeKindConstraintComponent" in comps
+
+
+def test_in_vocab(spark, shapes):
+    report, rows = run(spark, shapes, FX.THEME_NOT_IN_VOCAB)
+    assert report.conforms  # Info severity only
+    assert len(rows) == 1
+    assert rows[0].sourceConstraintComponent == SH + "InConstraintComponent"
+    assert rows[0].resultSeverity == "Info"
+    assert rows[0].value == "http://example.org/not-a-theme"
+
+
+def test_min_inclusive(spark, shapes):
+    report, rows = run(spark, shapes, FX.NEGATIVE_BYTESIZE)
+    assert report.conforms  # Warning severity
+    assert len(rows) == 1
+    assert rows[0].sourceConstraintComponent == SH + "MinInclusiveConstraintComponent"
+
+
+def test_empty_shapes_sentinel(spark):
+    triples = triples_from_turtle(spark, FX.OK_CATALOG)
+    report = validate_report(spark, triples, [])
+    assert not report.conforms
+    rows = report.results.collect()
+    assert len(rows) == 1
+    assert rows[0].sourceConstraintComponent == SENTINEL_NO_SHAPES
+
+
+def test_empty_data_sentinel(spark, shapes):
+    triples = triples_from_turtle(spark, "")
+    report = validate_report(spark, triples, shapes)
+    assert not report.conforms
+    rows = report.results.collect()
+    assert len(rows) == 1
+    assert rows[0].sourceConstraintComponent == SENTINEL_EMPTY_CONTENT
+
+
+def test_default_message_fallback(spark, shapes):
+    """Constraints without sh:message get the reference default
+    (SHACLValidationService.ts:276-292)."""
+    _, rows = run(spark, shapes, FX.WRONG_DATATYPE)
+    msg = rows[0].message[0]
+    assert msg.text.startswith("Validation issue at ")
+    assert DCT + "issued" in msg.text
+
+
+def test_validate_is_pure_dataframe(spark, shapes):
+    """No Python UDFs in the validation plan (BASELINE.json: 'no per-row
+    Python anywhere')."""
+    triples = triples_from_turtle(spark, FX.OK_CATALOG)
+    plan = validate(spark, triples, shapes)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
