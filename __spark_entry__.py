@@ -1,38 +1,747 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline end-to-end on
+sf0.001; ``queries()``/``oracle_sql()`` register every SQL-expressible
+operator from SURVEY.md §2 (validation rules, report analytics, discovery
+joins, dedup, text analysis, similarity, relational core) for the DuckDB
+cross-check at sf0.01.  Non-SQL-expressible ops (LSH blocking, extraction
+UDFs) are registered without oracles → rows-only checks; their strong
+correctness checks live in tests/ (P/R vs generated expected triples).
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from shacl_validator_spark.model import SH
+from shacl_validator_spark.operators import analytics as ana
+from shacl_validator_spark.operators.dedup import exact_duplicates, minhash_lsh_pairs, simhash
+from shacl_validator_spark.operators.discovery import extract_datasets, search_datasets
+from shacl_validator_spark.operators.linking import salted_count
+from shacl_validator_spark.operators.similarity import brute_force_topk, lsh_topk
+from shacl_validator_spark.operators.validate import validate
+from shacl_validator_spark.sources.extract import extract_raw_triples, extract_text
+from shacl_validator_spark.sources.pages import documents_as_pages
+from shacl_validator_spark.sources.synthetic import (
+    SYNTHETIC_VIOLATIONS_SQL,
+    customer_constraints,
+    customer_triples,
+    nation_dcat_triples,
+    synthetic_violations,
+)
+
+SF1 = "/root/testdata/sf0.001"
+
+VIOLATION_OUT_COLS = [
+    "focusNode",
+    "resultPath",
+    "value",
+    "resultSeverity",
+    "sourceConstraintComponent",
+    "sourceShape",
+]
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship end-to-end pipeline
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → pages → extract → link → canonicalize →
+    validate → conformant MERGE; returns the merged relation triples."""
+    from shacl_validator_spark.plans.pipeline import run_pipeline
+    from shacl_validator_spark.sources.extract import KG
+
+    out_dir = tempfile.mkdtemp(prefix="kg_entry_")
+    try:
+        pages = documents_as_pages(spark, SF1)
+        run_pipeline(spark, pages, out_dir, n_groups=1, resume=False)
+        rel = [KG + "locatedIn", KG + "publishes", KG + "founded"]
+        merged = (
+            spark.read.parquet(f"{out_dir}/triples")
+            .filter(F.col("predicate").isin(rel))
+            .select("subject", "predicate", "object_value")
+            .dropDuplicates()
+        )
+        # materialize before the temp dir disappears
+        rows = merged.localCheckpoint(eager=True)
+        return rows
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-copy — deterministic exact-duplicate corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+_DOCS_DOUBLED_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)"
+)
+
+
+def _violations_of(spark: SparkSession, sf_dir: str, component: str) -> DataFrame:
+    v = validate(spark, customer_triples(spark, sf_dir), customer_constraints())
+    return v.filter(
+        F.col("sourceConstraintComponent") == SH + component + "ConstraintComponent"
+    ).select(*VIOLATION_OUT_COLS)
+
+
+_CUST_SHAPE = "ex:CustomerShape"
+
+
+def _shacl_oracle(select: str) -> str:
+    return select
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_severity_summary(spark, sf_dir):
+    return ana.severity_summary(synthetic_violations(spark, sf_dir))
+
+
+def q_grouped_findings(spark, sf_dir):
+    gf = ana.grouped_findings(synthetic_violations(spark, sf_dir))
+    return gf.select("severity", "sourceShape", "component", "total")
+
+
+def q_shape_breakdown(spark, sf_dir):
+    return ana.shape_breakdown(synthetic_violations(spark, sf_dir))
+
+
+def q_path_breakdown(spark, sf_dir):
+    return ana.path_breakdown(synthetic_violations(spark, sf_dir))
+
+
+def q_focus_class_breakdown(spark, sf_dir):
+    return ana.focus_class_breakdown(synthetic_violations(spark, sf_dir))
+
+
+def q_component_breakdown(spark, sf_dir):
+    return ana.component_breakdown(synthetic_violations(spark, sf_dir))
+
+
+def q_unique_entity_stats(spark, sf_dir):
+    return ana.unique_entity_stats(synthetic_violations(spark, sf_dir))
+
+
+def q_conforms_flag(spark, sf_dir):
+    return ana.conforms_flag(synthetic_violations(spark, sf_dir)).select(
+        F.col("conforms").cast("int").alias("conforms")
+    )
+
+
+def q_shacl_min_count(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "MinCount")
+
+
+def q_shacl_pattern(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Pattern")
+
+
+def q_shacl_in(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "In")
+
+
+def q_shacl_min_inclusive(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "MinInclusive")
+
+
+def q_shacl_class(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Class")
+
+
+def q_shacl_report_summary(spark, sf_dir):
+    v = validate(spark, customer_triples(spark, sf_dir), customer_constraints())
+    return v.groupBy(
+        F.col("sourceConstraintComponent").alias("component"),
+        F.col("resultSeverity").alias("severity"),
+    ).agg(F.count("*").alias("n"))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top_parts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(8)
+    )
+
+
+def q_distinct_users_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"), F.count("*").alias("n")
+    )
+
+
+def q_user_event_rank(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("long").alias("n_sessions"))
+    )
+
+
+def q_orders_no_lineitems(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_hourly_event_pivot(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_docs_doubled(spark, sf_dir)).select(
+        "content_hash", "n_docs", "keeper"
+    )
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs_doubled(spark, sf_dir), jaccard_threshold=0.999
+    ).select("id_a", "id_b")
+
+
+def q_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("tokens"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+def q_quality_by_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.round(F.sum(quality_score(F.col("text"))), 4).alias("quality_sum")
+    )
+
+
+def q_language_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy(language_id(F.col("text")).alias("pred_lang")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_fingerprint_distinct(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.agg(F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_fingerprints"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb.filter(F.col("vec_id") >= 3), queries, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+
+
+def q_discovery_datasets(spark, sf_dir):
+    ds = extract_datasets(nation_dcat_triples(spark, sf_dir))
+    return ds.select(
+        "id",
+        "title",
+        "publisher",
+        F.array_join("keywords", ",").alias("keywords"),
+    )
+
+
+def q_discovery_search(spark, sf_dir):
+    ds = extract_datasets(nation_dcat_triples(spark, sf_dir))
+    return search_datasets(ds, "an", limit=50).select("id", "title")
+
+
+def q_salted_degree(spark, sf_dir):
+    t = customer_triples(spark, sf_dir)
+    return salted_count(t, "subject").orderBy(F.desc("n"), "subject").limit(10)
+
+
+def q_extract_relations(spark, sf_dir):
+    # extraction UDF output — no SQL oracle (mapInPandas); rows-only check
+    pages = documents_as_pages(spark, sf_dir)
+    return extract_raw_triples(pages)
+
+
+def q_byte_identity_failures(spark, sf_dir):
+    pages = documents_as_pages(spark, sf_dir)
+    return pages.withColumn("ext", extract_text(F.col("html"))).filter(
+        F.col("ext") != F.col("text")
+    ).select("url")
+
+
+def q_simhash_sample(spark, sf_dir):
+    # deterministic but xxhash64-based — no DuckDB equivalent; rows-only
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id").limit(100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "severity_summary": q_severity_summary,
+        "grouped_findings": q_grouped_findings,
+        "shape_breakdown": q_shape_breakdown,
+        "path_breakdown": q_path_breakdown,
+        "focus_class_breakdown": q_focus_class_breakdown,
+        "component_breakdown": q_component_breakdown,
+        "unique_entity_stats": q_unique_entity_stats,
+        "conforms_flag": q_conforms_flag,
+        "shacl_min_count": q_shacl_min_count,
+        "shacl_pattern": q_shacl_pattern,
+        "shacl_in": q_shacl_in,
+        "shacl_min_inclusive": q_shacl_min_inclusive,
+        "shacl_class": q_shacl_class,
+        "shacl_report_summary": q_shacl_report_summary,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts": q_top_parts,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "user_event_rank": q_user_event_rank,
+        "sessionize": q_sessionize,
+        "orders_no_lineitems": q_orders_no_lineitems,
+        "hourly_event_pivot": q_hourly_event_pivot,
+        "dedup_exact": q_dedup_exact,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "token_stats": q_token_stats,
+        "quality_by_lang": q_quality_by_lang,
+        "language_id": q_language_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "discovery_datasets": q_discovery_datasets,
+        "discovery_search": q_discovery_search,
+        "salted_degree": q_salted_degree,
+        "extract_relations": q_extract_relations,
+        "byte_identity_failures": q_byte_identity_failures,
+        "simhash_sample": q_simhash_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_V = f"({SYNTHETIC_VIOLATIONS_SQL})"
+
+_CUSTOMER_TARGETS = "SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode, c_custkey FROM customer"
+
+_TOKEN_RE_SQL = "'[A-Za-z0-9]+(?:''[a-z]+)?'"
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["severity_summary"] = f"""
+        SELECT resultSeverity AS severity, COUNT(*) AS n FROM {_V} v
+        GROUP BY resultSeverity
     """
-    return {}
+
+    sql["grouped_findings"] = f"""
+        SELECT resultSeverity AS severity, sourceShape,
+               sourceConstraintComponent AS component, COUNT(*) AS total
+        FROM {_V} v GROUP BY 1, 2, 3
+    """
+
+    sql["shape_breakdown"] = f"""
+        SELECT sourceShape, COUNT(*) AS total,
+               COUNT(*) FILTER (resultSeverity = 'Violation') AS violations,
+               COUNT(*) FILTER (resultSeverity = 'Warning') AS warnings,
+               COUNT(*) FILTER (resultSeverity = 'Info') AS infos
+        FROM {_V} v GROUP BY sourceShape
+        ORDER BY total DESC, sourceShape LIMIT 6
+    """
+
+    sql["path_breakdown"] = f"""
+        SELECT resultPath, COUNT(*) AS total,
+               COUNT(*) FILTER (resultSeverity = 'Violation') AS violations
+        FROM {_V} v WHERE resultPath IS NOT NULL
+        GROUP BY resultPath ORDER BY total DESC, resultPath LIMIT 8
+    """
+
+    sql["focus_class_breakdown"] = f"""
+        SELECT CASE WHEN k = '' THEN 'Other'
+                    ELSE upper(k[1]) || k[2:] END AS kind,
+               COUNT(*) AS total,
+               COUNT(*) FILTER (resultSeverity = 'Violation') AS violations
+        FROM (
+          SELECT coalesce(regexp_extract(lower(focusNode),
+            '(dataset|distribution|catalog|dataservice|agent|organization|contactpoint|periodoftime)', 1), '') AS k,
+            resultSeverity
+          FROM {_V} v WHERE focusNode IS NOT NULL
+        ) GROUP BY kind
+    """
+
+    sql["component_breakdown"] = f"""
+        SELECT CASE WHEN strpos(reverse(sourceConstraintComponent), '#') > 0
+                      OR strpos(reverse(sourceConstraintComponent), '/') > 0
+                    THEN list_extract(string_split_regex(sourceConstraintComponent, '[#/]'), -1)
+                    ELSE sourceConstraintComponent END AS component,
+               COUNT(*) AS n
+        FROM {_V} v WHERE sourceConstraintComponent IS NOT NULL
+        GROUP BY component ORDER BY n DESC, component LIMIT 8
+    """
+
+    sql["unique_entity_stats"] = f"""
+        SELECT COUNT(DISTINCT focusNode) AS unique_focus_nodes,
+               COUNT(DISTINCT sourceShape) AS unique_shapes,
+               COUNT(DISTINCT resultPath) AS unique_paths
+        FROM {_V} v
+    """
+
+    sql["conforms_flag"] = f"""
+        SELECT CAST(COUNT(*) FILTER (resultSeverity = 'Violation') = 0 AS INT) AS conforms
+        FROM {_V} v
+    """
+
+    # --- SHACL rule oracles: independent SQL formulations --------------------
+    sql["shacl_min_count"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:goodbal' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_acctbal < 0
+    """
+
+    sql["shacl_pattern"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:name' AS resultPath,
+               c_name AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#PatternConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE NOT regexp_matches(c_name, '^Customer#000000[0-9]{{3}}$')
+    """
+
+    sql["shacl_in"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:segment' AS resultPath,
+               c_mktsegment AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#InConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY','AUTOMOBILE')
+    """
+
+    sql["shacl_min_inclusive"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:acctbal' AS resultPath,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MinInclusiveConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_acctbal < 0
+    """
+
+    sql["shacl_class"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:nation' AS resultPath,
+               'nation:' || CAST(c_nationkey AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#ClassConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_nationkey >= 15
+    """
+
+    sql["shacl_report_summary"] = """
+        WITH v AS (
+          SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS component,
+                 'Violation' AS severity FROM customer WHERE c_acctbal < 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#PatternConstraintComponent', 'Warning'
+          FROM customer WHERE NOT regexp_matches(c_name, '^Customer#000000[0-9]{3}$')
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#InConstraintComponent', 'Info'
+          FROM customer WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY','AUTOMOBILE')
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MinInclusiveConstraintComponent', 'Violation'
+          FROM customer WHERE c_acctbal < 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#ClassConstraintComponent', 'Violation'
+          FROM customer WHERE c_nationkey >= 15
+        )
+        SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
+    """
+
+    sql["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["revenue_by_nation"] = """
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["top_parts"] = """
+        SELECT l_partkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 8
+    """
+
+    sql["distinct_users_by_type"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    sql["user_event_rank"] = """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    """
+
+    sql["sessionize"] = """
+        SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS ns
+          FROM (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+          )
+        ) GROUP BY user_id
+    """
+
+    sql["orders_no_lineitems"] = """
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderstatus
+    """
+
+    sql["hourly_event_pivot"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               COUNT(*) FILTER (event_type = 'click') AS "click",
+               COUNT(*) FILTER (event_type = 'view') AS "view",
+               COUNT(*) FILTER (event_type = 'purchase') AS "purchase",
+               COUNT(*) FILTER (event_type = 'signup') AS "signup",
+               COUNT(*) FILTER (event_type = 'error') AS "error"
+        FROM events GROUP BY 1
+    """
+
+    sql["dedup_exact"] = f"""
+        SELECT md5({_NORM_TEXT}) AS content_hash,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        FROM {_DOCS_DOUBLED_SQL} d
+        GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+    sql["minhash_dup_pairs"] = f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {_DOCS_DOUBLED_SQL} a JOIN {_DOCS_DOUBLED_SQL} b
+          ON regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g')
+           = regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')
+         AND a.doc_id < b.doc_id
+    """
+
+    sql["token_stats"] = f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL}))) AS tokens,
+               SUM(length(text)) AS chars
+        FROM documents GROUP BY lang
+    """
+
+    sql["quality_by_lang"] = f"""
+        SELECT lang, ROUND(SUM(
+          (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25 +
+          (CASE WHEN length(text) > 0 THEN
+             1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) * 5, 1.0)
+           ELSE 0.0 END) * 0.25 +
+          (CASE WHEN len(regexp_extract_all(' ' || lower(text) || ' ',
+             '\\s(the|and|of|to|is|in|el|la|de|que|der|die|und)\\s')) > 0 THEN 1.0 ELSE 0.0 END) * 0.25 +
+          (CASE WHEN len(regexp_extract_all(text, {_TOKEN_RE_SQL})) > 0
+                 AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, {_TOKEN_RE_SQL})) BETWEEN 3 AND 12
+                THEN 1.0 ELSE 0.0 END) * 0.25
+        ), 4) AS quality_sum
+        FROM documents GROUP BY lang
+    """
+
+    sql["language_id"] = """
+        WITH hits AS (
+          SELECT
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sthe\\s|\\sand\\s|\\sof\\s|\\sto\\s|\\sis\\s|\\sin\\s')) AS h_en,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sel\\s|\\sla\\s|\\sde\\s|\\sque\\s|\\slos\\s|\\ses\\s')) AS h_es,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sder\\s|\\sdie\\s|\\sund\\s|\\sdas\\s|\\sist\\s|\\sein\\s')) AS h_de,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sle\\s|\\sla\\s|\\set\\s|\\sles\\s|\\sdes\\s|\\sest\\s')) AS h_fr
+          FROM documents
+        )
+        SELECT CASE WHEN GREATEST(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) THEN 'fr'
+                    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
+                    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
+                    ELSE 'de' END AS pred_lang,
+               COUNT(*) AS n
+        FROM hits GROUP BY 1
+    """
+
+    sql["fingerprint_distinct"] = f"""
+        SELECT COUNT(DISTINCT {_NORM_TEXT}) AS n_fingerprints FROM documents
+    """
+
+    sql["embedding_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.qvec AS DOUBLE[])), 6) AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3
+        )
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    sql["discovery_datasets"] = """
+        SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS id,
+               CASE WHEN n_nationkey % 3 <> 0 THEN n_name
+                    WHEN n_nationkey % 6 = 0 THEN lower(n_name)
+                    ELSE 'Unnamed Dataset' END AS title,
+               'r:' || CAST(n_regionkey AS VARCHAR) AS publisher,
+               list_aggregate(list_sort(list_distinct([n_name, 'key' || CAST(n_regionkey AS VARCHAR)])), 'string_agg', ',') AS keywords
+        FROM nation
+    """
+
+    sql["discovery_search"] = """
+        SELECT id, title FROM (
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS id,
+                 CASE WHEN n_nationkey % 3 <> 0 THEN n_name
+                      WHEN n_nationkey % 6 = 0 THEN lower(n_name)
+                      ELSE 'Unnamed Dataset' END AS title,
+                 [n_name, 'key' || CAST(n_regionkey AS VARCHAR)] AS kw
+          FROM nation
+        )
+        WHERE strpos(lower(title), 'an') > 0
+           OR len(list_filter(kw, k -> strpos(lower(k), 'an') > 0)) > 0
+        ORDER BY id LIMIT 50
+    """
+
+    sql["salted_degree"] = """
+        WITH t AS (
+          SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subject,
+                 6 - CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END AS n
+          FROM customer
+        )
+        SELECT subject, CAST(n AS BIGINT) AS n FROM t ORDER BY n DESC, subject LIMIT 10
+    """
+
+    sql["byte_identity_failures"] = "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1 = 0"
+
+    # extract_relations / embedding_lsh_topk / simhash_sample / minhash
+    # internals: no SQL equivalent (vectorized UDF or xxhash64-based) —
+    # rows-only checks; strong checks in tests/.
+    return sql

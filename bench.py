@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries + the flagship
+KG-construction pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec", "queries": {name:
+sec}, "sf", plus throughput extras}.
+
+``--scaling`` mode (BASELINE.json north_rule evidence): run the same
+pipeline job at two parallelism levels (local[8] vs local[32] — the
+sandbox stand-in for N vs 4N executors) in fresh JVMs and report both
+throughputs and the scaling efficiency; results are appended to
+BENCH/BASELINE.md by tools/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(sf_dir: str, cpus: int, pipeline_pages: int | None = None) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from shacl_validator_spark.plans.pipeline import run_pipeline
+    from shacl_validator_spark.session import get_spark
+    from shacl_validator_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+    qs = entrymod.queries()
+    headline = [
+        "shacl_report_summary",
+        "severity_summary",
+        "grouped_findings",
+        "tpch_q1",
+        "revenue_by_nation",
+        "top_parts",
+        "user_event_rank",
+        "sessionize",
+        "dedup_exact",
+        "minhash_dup_pairs",
+        "token_stats",
+        "language_id",
+        "embedding_topk",
+        "embedding_lsh_topk",
+        "discovery_datasets",
+        "extract_relations",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # flagship pipeline throughput: validated triples/sec on a synthesized
+    # CC-style corpus sized to the scale factor
+    sf = _sf_from_dir(sf_dir)
+    n_pages = pipeline_pages or max(2000, int(200_000 * max(sf, 0.001)))
+    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        pages = synthesize_pages(spark, n_pages)
+        t0 = time.time()
+        res = run_pipeline(spark, pages, out_dir, n_groups=1, resume=False)
+        wall = time.time() - t0
+        times["kg_pipeline"] = round(wall, 3)
+        triples_per_sec = res.triples_in / wall if wall > 0 else 0.0
+        valid_per_sec = res.triples_valid / wall if wall > 0 else 0.0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline_queries_plus_kg_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_pages": n_pages,
+        "pipeline_triples_in": res.triples_in,
+        "pipeline_triples_valid": res.triples_valid,
+        "validated_triples_per_sec": round(valid_per_sec, 1),
+        "extracted_triples_per_sec": round(triples_per_sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages = None
+    if "--pages" in sys.argv:
+        pages = int(sys.argv[sys.argv.index("--pages") + 1])
+    result = run_bench(sf_dir, cpus, pipeline_pages=pages)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

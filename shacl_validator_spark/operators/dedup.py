@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard near-dup detection over a
+document table — the large-scale corpus-hygiene layer on top of the
+reference's quad set-semantics (SURVEY.md §2.6 U3/U4).
+
+Scale notes:
+- exact dedup is one hash-groupBy (map-side partial agg);
+- MinHash signatures are computed as column expressions (one xxhash64 per
+  permutation over exploded shingles — JVM-side, no Python); banding turns
+  the O(n²) pair space into an equi-join on (band, band_hash);
+- SimHash is a weighted-bit-vote over token hashes, again pure columns;
+- n-gram Jaccard verifies candidate pairs only (after LSH blocking), never
+  all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN
+
+
+def _normalized(text) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: returns (content_hash, n_docs,
+    doc_ids sorted, keeper = min id). md5 used so the DuckDB oracle can
+    reproduce the key byte-for-byte."""
+    h = F.md5(_normalized(F.col(text_col)))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+            F.min(F.col(id_col)).alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(text, n: int = 3) -> F.Column:
+    """Word n-gram shingle array (distinct) of normalized text."""
+    tokens = F.regexp_extract_all(_normalized(text), F.lit(TOKEN_PATTERN), 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n,
+               F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))))
+        .otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures, pure column expressions.
+
+    Permutation j's hash of shingle s = xxhash64(s, j); signature[j] = min
+    over shingles — one explode + groupBy (map-side partial min).
+    """
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"h{j}") for j in range(num_perm)]
+    sig = ex.groupBy("_id").agg(*aggs)
+    return sig.select(F.col("_id").alias(id_col), F.array(*[f"h{j}" for j in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The band bucket join is the only shuffle over candidates; the final
+    Jaccard check joins shingle sets for candidate pairs only.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bits.
+
+    Implemented as explode(tokens) → per-bit vote aggregation — JVM-side
+    only. Returns (id, simhash: bigint).
+    """
+    tokens = F.regexp_extract_all(_normalized(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(tokens).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+
+    def bit_lit(b: int):
+        # signed 64-bit: bit 63 is the sign bit
+        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(bit_lit(b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, bit_lit(b)).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over *inverted-index* candidates: pairs sharing
+    at least one shingle (posting-list self-join), then exact Jaccard.
+
+    Suits small/medium corpora and oracle checks; at 10^12 scale use
+    ``minhash_lsh_pairs`` (same output contract, LSH-blocked).
+    """
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    postings = sh.select("_id", F.explode("sh").alias("g"))
+    cand = (
+        postings.alias("a")
+        .join(postings.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,141 @@
+"""Entity linking: alias-dictionary exact match + MinHash-LSH blocking.
+
+Implements SURVEY.md §2.3 J7 / BASELINE.json north_star: "entity mentions
+are linked via MinHash-LSH candidate blocking plus a broadcast alias
+dictionary", with hub-entity skew handled by salting.
+
+Scale design:
+- linking operates on the **distinct surface set** (deduplicated upstream,
+  orders of magnitude smaller than the mention stream); the resulting
+  surface→canonical map is broadcast back onto the triple stream — the big
+  table is never shuffled for linking;
+- the alias dictionary is always broadcast (``F.broadcast``);
+- LSH runs only on the residual surfaces that miss the dictionary exactly,
+  using ``pyspark.ml.feature.MinHashLSH`` over character-shingle count
+  vectors (built-in, SURVEY.md §7.2);
+- degree-style aggregations over hub entities use two-phase salted
+  aggregation (``salted_count``) so one hot key cannot own a reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def alias_dict_df(spark: SparkSession, rows: list[tuple[str, str]]) -> DataFrame:
+    return spark.createDataFrame(rows, schema="alias string, canonical_id string")
+
+
+def link_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Broadcast alias-dictionary join: lower(surface) == alias.
+
+    Returns (surface, ent_class, canonical_id nullable).
+    """
+    return (
+        mentions.join(
+            F.broadcast(alias_dict),
+            F.lower(mentions["surface"]) == alias_dict["alias"],
+            "left",
+        )
+        .select("surface", "ent_class", "canonical_id")
+    )
+
+
+def _shingle_col(col: str, n: int = 3):
+    """Character n-gram shingles of the lowercased surface (array<string>)."""
+    padded = F.concat(F.lit("^^"), F.lower(F.col(col)), F.lit("$$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+
+
+def link_lsh(
+    spark: SparkSession,
+    unresolved: DataFrame,
+    alias_dict: DataFrame,
+    threshold: float = 0.6,
+    num_hash_tables: int = 5,
+) -> DataFrame:
+    """MinHash-LSH candidate blocking for surfaces with no exact alias hit.
+
+    Jaccard distance over character-3-gram shingles; the best (lowest
+    distance, ties broken by canonical_id) candidate within ``threshold``
+    wins.  Input/output: (surface) → (surface, canonical_id).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    if unresolved.isEmpty():
+        return spark.createDataFrame([], "surface string, canonical_id string")
+
+    cand = alias_dict.select(F.col("alias").alias("key"), "canonical_id").withColumn(
+        "shingles", _shingle_col("key")
+    )
+    probe = unresolved.select(F.col("surface").alias("key")).dropDuplicates().withColumn(
+        "shingles", _shingle_col("key")
+    )
+    both = cand.select("shingles").unionByName(probe.select("shingles"))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(both)
+    cand_v = model.transform(cand)
+    probe_v = model.transform(probe)
+
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    lsh = mh.fit(cand_v)
+    joined = lsh.approxSimilarityJoin(probe_v, cand_v, threshold, distCol="dist")
+    best = (
+        joined.select(
+            F.col("datasetA.key").alias("surface"),
+            F.col("datasetB.canonical_id").alias("canonical_id"),
+            F.col("dist"),
+        )
+        .groupBy("surface")
+        .agg(F.min_by(F.struct("dist", "canonical_id"), F.struct("dist", "canonical_id")).alias("best"))
+        .select("surface", F.col("best.canonical_id").alias("canonical_id"))
+    )
+    return best
+
+
+def link_mentions(
+    spark: SparkSession,
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    lsh_threshold: float = 0.6,
+) -> DataFrame:
+    """Full linking: exact broadcast join, LSH fallback, surface fallback.
+
+    Surfaces that neither the dictionary nor LSH resolve keep a
+    deterministic surface-derived id (``surface:<lower>``) so downstream
+    stages (typing, validation, MERGE keys) stay total and stable
+    (SURVEY.md §7.3 blank-node determinism).
+    Returns the broadcastable map (surface, ent_class, canonical_id).
+    """
+    exact = link_exact(mentions, alias_dict).cache()
+    unresolved = exact.filter(F.col("canonical_id").isNull()).select("surface", "ent_class")
+    lsh = link_lsh(spark, unresolved, alias_dict, threshold=lsh_threshold)
+    resolved = (
+        exact.join(lsh.withColumnRenamed("canonical_id", "lsh_id"), "surface", "left")
+        .select(
+            "surface",
+            "ent_class",
+            F.coalesce(
+                F.col("canonical_id"),
+                F.col("lsh_id"),
+                F.concat(F.lit("surface:"), F.lower(F.col("surface"))),
+            ).alias("canonical_id"),
+        )
+        .dropDuplicates(["surface", "ent_class"])
+    )
+    return resolved
+
+
+def salted_count(df: DataFrame, key: str, n_salt: int = 16, out: str = "n") -> DataFrame:
+    """Two-phase skew-proof count: partial count per (key, salt), then final.
+
+    The salt is derived from a second column hash when available, else a
+    deterministic spread of the row; required for hub-entity degree counts
+    (BASELINE.json: "skewed hub entities ... are salted").
+    """
+    all_cols = df.columns
+    spread = F.pmod(F.xxhash64(*[F.col(c) for c in all_cols]), n_salt)
+    partial = df.groupBy(F.col(key), spread.alias("_salt")).agg(F.count("*").alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))

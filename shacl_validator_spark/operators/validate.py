@@ -266,7 +266,12 @@ def validate(
         "messages",
         "shape_iri",
     ]
-    tvf = tv.join(F.broadcast(cons.select("constraint_id", *facet_cols)), "constraint_id")
+    # materialize the joined target×value×facet relation once — every rule
+    # branch below reads it; without this each branch of the final union
+    # recomputes the whole upstream (extraction included) in the same job
+    tvf = tv.join(
+        F.broadcast(cons.select("constraint_id", *facet_cols)), "constraint_id"
+    ).localCheckpoint(eager=True)
 
     out: list[DataFrame] = []
 

@@ -1,0 +1,65 @@
+"""Idempotent MERGE into a partitioned triple store (parquet emulation).
+
+The north star targets Iceberg ``MERGE INTO`` keyed on
+``(subj, pred, obj, src_url)`` (SURVEY.md §2.6 U3, §4.4).  The sandbox has
+no Iceberg jars (SURVEY.md §7.3 environment note), so this module provides
+the same contract over partitioned parquet:
+
+- the table is hash-partitioned by ``partition_key =
+  pmod(xxhash64(subject), n_buckets)`` — subject-keyed layout so validation
+  targeting and downstream entity joins co-locate (SURVEY.md §4 "bucketed
+  layout on subject");
+- MERGE = left-anti join of the incoming batch against existing keys in the
+  touched partitions only, then append — replaying a batch inserts nothing,
+  which is what makes checkpoint-resume exactly-once (BASELINE.json
+  "resumable from checkpoint").
+
+On a real cluster the implementation swaps to Iceberg ``MERGE INTO`` with
+identical semantics; the call sites do not change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MERGE_KEY = ["subject", "predicate", "object_value", "graph"]
+
+
+def with_partition_key(df: DataFrame, n_buckets: int = 32) -> DataFrame:
+    return df.withColumn(
+        "partition_key", F.pmod(F.xxhash64(F.col("subject")), n_buckets).cast("int")
+    )
+
+
+def merge_triples(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    n_buckets: int = 32,
+) -> int:
+    """MERGE WHEN NOT MATCHED THEN INSERT; returns rows inserted.
+
+    Reads only the partitions the batch touches (partition pruning on
+    ``partition_key``) — at 10^12 scale the anti-join never scans the whole
+    table.
+    """
+    keyed = with_partition_key(batch, n_buckets).dropDuplicates(MERGE_KEY)
+    if not os.path.exists(table_path):
+        keyed.write.mode("overwrite").partitionBy("partition_key").parquet(table_path)
+        return keyed.count()
+
+    touched = [r.partition_key for r in keyed.select("partition_key").dropDuplicates().collect()]
+    existing = (
+        spark.read.parquet(table_path)
+        .filter(F.col("partition_key").isin(touched))
+        .select(*MERGE_KEY)
+    )
+    fresh = keyed.join(existing, MERGE_KEY, "left_anti").cache()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("partition_key").parquet(table_path)
+    fresh.unpersist()
+    return n

@@ -1,0 +1,316 @@
+"""End-to-end KG-construction pipeline (the flagship path, SURVEY.md §3.1).
+
+pages → extract_text (pandas UDF) → extract_raw_triples (Arrow batches) →
+link mentions (broadcast alias dict + MinHash-LSH) → canonicalize
+(connected components) → typed triples → SHACL validate (constraint-table
+joins) → conformant-only idempotent MERGE + lineage + checkpoint manifest.
+
+This is the Spark rebuild of the reference's click-to-report lifecycle
+(reference src/components/Validator/ValidatorInput.tsx:221-292 →
+AppRouter.tsx:22-63 → SHACLValidationService.ts:339-424), re-topologized
+for a 1000-executor cluster:
+
+- the only Python on executors is the two vectorized extraction UDFs;
+- linking/canonicalization operate on the distinct-surface set and return
+  broadcast maps — the triple stream is never shuffled for linking;
+- batches are processed per input partition-group with a checkpoint
+  manifest; a restart skips completed groups and the idempotent MERGE makes
+  replays of in-flight groups exactly-once (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import RDF_TYPE, SEVERITY_VIOLATION
+from ..operators.components import connected_components
+from ..operators.linking import alias_dict_df, link_mentions
+from ..operators.validate import validate
+from ..shapes import compile_shapes, profile_shapes_ttl
+from ..sources.extract import (
+    ENTITY,
+    KG,
+    PREDICATE_CLASSES,
+    XSD_INTEGER,
+    extract_raw_triples,
+    mentions_from_raw,
+)
+from ..sources.pages import alias_rows
+from .merge import merge_triples
+
+
+@dataclass
+class PipelineResult:
+    triples_in: int
+    triples_valid: int
+    violations: int
+    merged: int
+    entities: DataFrame  # (canonical_id, surface_forms, ent_class)
+    violations_df: DataFrame
+
+
+def canonicalize(
+    spark: SparkSession, linked: DataFrame, max_iter: int = 6
+) -> DataFrame:
+    """Merge surfaces that share a canonical id (or are chained by LSH)
+    into components; canonical id := min member id.
+
+    Edges: surface ↔ linked canonical id.  Returns the final broadcastable
+    (surface, canonical_id, ent_class) map.
+    """
+    edges = linked.select(
+        F.concat(F.lit("s|"), F.col("surface")).alias("src"),
+        F.concat(F.lit("c|"), F.col("canonical_id")).alias("dst"),
+    )
+    comps = connected_components(edges, max_iter=max_iter)
+    # component label is min over 'c|...' and 's|...' — 'c|' sorts before 's|',
+    # so canonical ids win whenever one is in the component
+    surf = (
+        comps.filter(F.col("node").startswith("s|"))
+        .select(
+            F.expr("substring(node, 3)").alias("surface"),
+            F.expr("substring(component, 3)").alias("canonical_id"),
+        )
+    )
+    return (
+        linked.select("surface", "ent_class")
+        .join(surf, "surface", "left")
+        .select(
+            "surface",
+            "ent_class",
+            F.coalesce(F.col("canonical_id"), F.concat(F.lit("surface:"), F.lower("surface"))).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
+def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
+    """Surface triples + broadcast surface→canonical map → TRIPLE_SCHEMA rows.
+
+    Emits relation triples plus the rdf:type support triples implied by
+    relation slots (needed by sh:class checks, SURVEY.md §2.8).
+    """
+    smap = F.broadcast(surface_map.select("surface", "canonical_id").dropDuplicates(["surface"]))
+    sm_s = smap.withColumnRenamed("surface", "s_surf").withColumnRenamed(
+        "canonical_id", "s_id"
+    )
+    sm_o = smap.withColumnRenamed("surface", "o_surf").withColumnRenamed(
+        "canonical_id", "o_id"
+    )
+    resolved = (
+        raw.join(sm_s, raw["subj_surface"] == sm_s["s_surf"], "left")
+        .join(
+            sm_o,
+            (raw["obj_surface"] == sm_o["o_surf"]) & (raw["obj_kind"] == ENTITY),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("s_id"), F.concat(F.lit("surface:"), F.lower("subj_surface"))).alias(
+                "subject"
+            ),
+            F.col("predicate"),
+            F.when(F.col("obj_kind") == ENTITY,
+                   F.coalesce(F.col("o_id"), F.concat(F.lit("surface:"), F.lower("obj_surface"))))
+            .otherwise(F.col("obj_surface"))
+            .alias("object_value"),
+            F.when(F.col("obj_kind") == ENTITY, F.lit("iri"))
+            .otherwise(F.lit("literal"))
+            .alias("object_type"),
+            F.when(F.col("obj_kind") != ENTITY, F.lit(XSD_INTEGER))
+            .cast("string")
+            .alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.col("src_url").alias("graph"),
+        )
+    )
+
+    # inverse edges: publishes ⇒ publishedBy (satisfies the Dataset shape's
+    # minCount/class on kg:publishedBy)
+    inverse_rows = resolved.filter(F.col("predicate") == KG + "publishes").select(
+        F.col("object_value").alias("subject"),
+        F.lit(KG + "publishedBy").alias("predicate"),
+        F.col("subject").alias("object_value"),
+        F.lit("iri").alias("object_type"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+        "graph",
+    )
+
+    # rdf:type support triples from relation-slot classes
+    cls_map = [(p, s, o) for p, (s, o) in PREDICATE_CLASSES.items()]
+    subj_cls = F.create_map(*[x for p, s, _ in cls_map for x in (F.lit(p), F.lit(s))])
+    obj_cls = F.create_map(
+        *[x for p, _, o in cls_map if o is not None for x in (F.lit(p), F.lit(o))]
+    )
+    type_rows = (
+        resolved.select(
+            F.col("subject"), subj_cls[F.col("predicate")].alias("cls"), F.col("graph")
+        )
+        .unionByName(
+            resolved.filter(F.col("object_type") == "iri").select(
+                F.col("object_value").alias("subject"),
+                obj_cls[F.col("predicate")].alias("cls"),
+                F.col("graph"),
+            )
+        )
+        .filter(F.col("cls").isNotNull())
+        .select(
+            "subject",
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.col("cls").alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            "graph",
+        )
+    )
+    # kg:name triples so minCount(name) holds for every linked entity
+    name_rows = (
+        raw.select(F.col("subj_surface").alias("surface"), F.col("src_url").alias("graph"))
+        .unionByName(
+            raw.filter(F.col("obj_kind") == ENTITY).select(
+                F.col("obj_surface").alias("surface"), F.col("src_url").alias("graph")
+            )
+        )
+        .join(smap, "surface")
+        .select(
+            F.col("canonical_id").alias("subject"),
+            F.lit(KG + "name").alias("predicate"),
+            F.col("surface").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            "graph",
+        )
+    )
+    return (
+        resolved.unionByName(inverse_rows)
+        .unionByName(type_rows)
+        .unionByName(name_rows)
+        .dropDuplicates()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    profile: str = "kg_extraction",
+    n_groups: int = 4,
+    n_buckets: int = 32,
+    resume: bool = True,
+    extra_alias_rows: list[tuple[str, str]] | None = None,
+) -> PipelineResult:
+    """Run extract → link → canonicalize → validate → MERGE over ``pages``.
+
+    ``n_groups`` splits the input into checkpointable partition groups
+    (grouped by url hash); each group is validated and merged independently
+    with a lineage row + manifest entry, so a killed job resumes where it
+    stopped (FIXTURES.md §8).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "checkpoint_manifest.json")
+    lineage_path = os.path.join(out_dir, "lineage.jsonl")
+    table_path = os.path.join(out_dir, "triples")
+
+    done: set[str] = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = {k for k, v in json.load(f).items() if v == "done"}
+
+    shapes = compile_shapes(profile_shapes_ttl(profile))
+    adict = alias_dict_df(spark, alias_rows() + (extra_alias_rows or []))
+
+    totals = {"triples_in": 0, "triples_valid": 0, "violations": 0, "merged": 0}
+    entities = None
+    viol_all = None
+
+    pages_g = pages.withColumn("_grp", F.pmod(F.xxhash64(F.col("url")), n_groups))
+    grp_sizes = {
+        r["_grp"]: r["n"]
+        for r in pages_g.groupBy("_grp").agg(F.count("*").alias("n")).collect()
+    }
+    for grp in range(n_groups):
+        key = f"grp={grp}"
+        if key in done:
+            continue
+        started = "deterministic"  # timestamps recorded as opaque markers in tests
+        batch_pages = pages_g.filter(F.col("_grp") == grp).drop("_grp")
+        # eager stage-boundary materialization: extraction runs once, the
+        # linking map and typed triples are computed once, and the
+        # multi-branch validation plan reads materialized inputs (on a real
+        # cluster these become reliable checkpoints / intermediate tables)
+        raw = extract_raw_triples(batch_pages).localCheckpoint(eager=True)
+        mentions = mentions_from_raw(raw)
+        linked = link_mentions(spark, mentions, adict)
+        surface_map = canonicalize(spark, linked).localCheckpoint(eager=True)
+        triples = typed_triples(raw, surface_map).localCheckpoint(eager=True)
+
+        violations = validate(spark, triples, shapes).localCheckpoint(eager=True)
+        bad_focus = (
+            violations.filter(F.col("resultSeverity") == SEVERITY_VIOLATION)
+            .select(F.col("focusNode").alias("subject"))
+            .dropDuplicates()
+        )
+        conformant = triples.join(bad_focus, "subject", "left_anti")
+
+        n_in = triples.count()
+        n_viol = violations.count()
+        merged = merge_triples(spark, table_path, conformant, n_buckets=n_buckets)
+        n_valid = conformant.count()
+
+        ent = surface_map.groupBy("canonical_id").agg(
+            F.sort_array(F.collect_set("surface")).alias("surface_forms"),
+            F.min("ent_class").alias("ent_class"),
+        ).localCheckpoint(eager=True)
+        entities = ent if entities is None else entities.unionByName(ent)
+        viol_all = violations if viol_all is None else viol_all.unionByName(violations)
+
+        totals["triples_in"] += n_in
+        totals["triples_valid"] += n_valid
+        totals["violations"] += n_viol
+        totals["merged"] += merged
+
+        with open(lineage_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "partition_key": key,
+                        "src_url_count": int(grp_sizes.get(grp, 0)),
+                        "triples_in": n_in,
+                        "triples_valid": n_valid,
+                        "violations": n_viol,
+                        "started_at": started,
+                        "finished_at": "deterministic",
+                    }
+                )
+                + "\n"
+            )
+        done.add(key)
+        with open(manifest_path, "w") as f:
+            json.dump({k: "done" for k in sorted(done)}, f)
+
+    if entities is None:
+        entities = spark.createDataFrame(
+            [], "canonical_id string, surface_forms array<string>, ent_class string"
+        )
+        from ..model import VIOLATION_SCHEMA
+
+        viol_all = spark.createDataFrame([], VIOLATION_SCHEMA)
+    entities = entities.dropDuplicates(["canonical_id"])
+    entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+
+    return PipelineResult(
+        triples_in=totals["triples_in"],
+        triples_valid=totals["triples_valid"],
+        violations=totals["violations"],
+        merged=totals["merged"],
+        entities=entities,
+        violations_df=viol_all,
+    )

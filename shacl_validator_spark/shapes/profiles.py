@@ -125,7 +125,7 @@ kg:PlaceShape a sh:NodeShape ;
 kg:DatasetShape a sh:NodeShape ;
     sh:targetClass kg:Dataset ;
     sh:property [
-        sh:path kg:title ;
+        sh:path kg:name ;
         sh:minCount 1 ;
         sh:severity sh:Violation ;
     ] ;

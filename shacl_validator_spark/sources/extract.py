@@ -1,0 +1,154 @@
+"""Vectorized extraction UDFs: HTML→text and OpenIE-style triples.
+
+The hot-path "parser" of the rebuilt pipeline (SURVEY.md §2.1 S1, §2.10):
+instead of parsing RDF text, triples are *emitted* from web pages by
+batched, Arrow-transferred pandas UDFs — the only Python on executors, and
+always whole-batch vectorized (pandas ``str`` ops / ``extractall``), never
+per-Spark-row (BASELINE.json: "no per-row Python anywhere").
+
+``extract_text`` must be byte-identical per url (BASELINE.json per-row
+invariant): it is a fixed, version-pinned regex over the page template with
+no library dependency that could drift (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KG = "http://example.org/kg#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+# --- HTML → text -----------------------------------------------------------
+
+_MAIN_RE = re.compile(rb'<p id="main">(.*?)</p>', re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def _extract_text_bytes(html: bytes) -> str:
+    m = _MAIN_RE.search(html)
+    if m:
+        return m.group(1).decode("utf-8")
+    return _TAG_RE.sub(b" ", html).decode("utf-8", errors="replace").strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Deterministic main-content extraction (golden-byte tested)."""
+    return html.map(_extract_text_bytes)
+
+
+# --- OpenIE-style relation patterns ----------------------------------------
+
+# (predicate IRI, regex with two groups, object kind)
+ENTITY = "entity"
+YEAR_LITERAL = "year"
+
+# no '.' in the name class — names must not cross sentence boundaries
+_NAME = r"([A-Z][A-Za-z0-9&\- ]*?)"
+RELATION_PATTERNS: list[tuple[str, str, str]] = [
+    (KG + "locatedIn", _NAME + r" is located in " + _NAME + r"\.", ENTITY),
+    (KG + "publishes", _NAME + r" publishes " + _NAME + r"\.", ENTITY),
+    (KG + "founded", _NAME + r" was founded in (\d{4})\.", YEAR_LITERAL),
+]
+
+# entity classes implied by relation slots (subject class, object class)
+PREDICATE_CLASSES: dict[str, tuple[str, str | None]] = {
+    KG + "locatedIn": (KG + "Organization", KG + "Place"),
+    KG + "publishes": (KG + "Organization", KG + "Dataset"),
+    KG + "founded": (KG + "Organization", None),
+}
+
+RAW_TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("subj_surface", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("obj_surface", T.StringType(), False),
+        T.StructField("obj_kind", T.StringType(), False),  # entity | year
+    ]
+)
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-batch extraction: one ``str.extractall`` per relation pattern
+    (C-level regex scan over the batch, no Python row loop)."""
+    outs = []
+    text = pdf["text"].fillna("")
+    urls = pdf["url"]
+    for pred, pattern, obj_kind in RELATION_PATTERNS:
+        m = text.str.extractall(pattern)
+        if m.empty:
+            continue
+        idx = m.index.get_level_values(0)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "src_url": urls.loc[idx].to_numpy(),
+                    "subj_surface": m[0].to_numpy(),
+                    "predicate": pred,
+                    "obj_surface": m[1].to_numpy(),
+                    "obj_kind": obj_kind,
+                }
+            )
+        )
+    if not outs:
+        return pd.DataFrame(
+            {
+                "src_url": pd.Series(dtype="object"),
+                "subj_surface": pd.Series(dtype="object"),
+                "predicate": pd.Series(dtype="object"),
+                "obj_surface": pd.Series(dtype="object"),
+                "obj_kind": pd.Series(dtype="object"),
+            }
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def extract_raw_triples(pages: DataFrame) -> DataFrame:
+    """pages → surface-form triples via ``mapInPandas`` (Arrow batches).
+
+    Returns RAW_TRIPLE_SCHEMA rows; entity typing and canonicalization are
+    downstream relational stages (operators/linking.py).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _extract_batch(pdf)
+
+    return pages.select("url", "text").mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
+
+
+def mentions_from_raw(raw: DataFrame) -> DataFrame:
+    """Distinct (surface, ent_class) mention table, derived relationally.
+
+    Deduplicating *before* linking is the scale move: the distinct surface
+    set is orders of magnitude smaller than the mention stream, and the
+    surface→canonical map broadcasts back (SURVEY.md §2.3 J7).
+    """
+    cls_map = [(p, s, o) for p, (s, o) in PREDICATE_CLASSES.items()]
+    subj_cls = F.create_map(
+        *[x for p, s, _ in cls_map for x in (F.lit(p), F.lit(s))]
+    )
+    obj_cls = F.create_map(
+        *[x for p, _, o in cls_map if o is not None for x in (F.lit(p), F.lit(o))]
+    )
+    subj = raw.select(
+        F.col("subj_surface").alias("surface"),
+        subj_cls[F.col("predicate")].alias("ent_class"),
+    )
+    obj = (
+        raw.filter(F.col("obj_kind") == ENTITY)
+        .select(
+            F.col("obj_surface").alias("surface"),
+            obj_cls[F.col("predicate")].alias("ent_class"),
+        )
+        .filter(F.col("ent_class").isNotNull())
+    )
+    return subj.unionByName(obj).dropDuplicates()

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: binary media + typed metadata.
+
+Image/audio/video are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-batch
+``mapInPandas`` stages.  The decode kernels themselves are STUBBED — the
+sandbox has no image/audio libraries — behind deterministic fakes clearly
+marked below, but the Spark-side plumbing (schemas, batch iteration,
+partitioning, UDF signatures) is real and tested, so swapping in PIL/ffmpeg
+on a real cluster changes only the kernel body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
+    """STUB decode/feature-extract: deterministic bytes→vector fake.
+
+    A real deployment replaces this with PIL/torchvision/ffmpeg decoding.
+    Deterministic: sha256 of the payload expanded to `dim` floats in [0,1).
+    """
+    h = hashlib.sha256(payload).digest()
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        chunk = hashlib.sha256(h + i.to_bytes(4, "big")).digest()
+        for b in range(0, 32, 4):
+            if len(out) >= dim:
+                break
+            out.append(int.from_bytes(chunk[b : b + 4], "big") / 2**32)
+        i += 1
+    return out
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over the media table.
+
+    One ``mapInPandas`` stage; batches stream through the (stubbed) kernel.
+    Output partitioning follows the input — no shuffle introduced.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": pdf["payload"].map(lambda p: _fake_decode_features(bytes(p), dim)),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: real impl decodes + resamples; the fake passes payload
+    through and rewrites metadata, preserving schema + batch shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["meta"].map(
+                lambda m: {
+                    "mime": (m or {}).get("mime"),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+            )
+            yield pdf.assign(meta=meta)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB frame sampling for video rows: emits one synthetic frame row per
+    ``every_ms`` of duration (real impl: ffmpeg keyframe extraction)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, payload, meta in zip(vids["media_id"], vids["payload"], vids["meta"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    rows.append((mid, i, ts, bytes(payload)[:64]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "payload"])
+
+    return media.mapInPandas(run, schema=out_schema)

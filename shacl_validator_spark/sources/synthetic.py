@@ -1,0 +1,230 @@
+"""Deterministic synthetic derivations of the driver test tables.
+
+These builders turn the TPC-H-ish parquet tables into the engine's domain
+tables (violations, triples) with *pure column expressions*, so the exact
+same derivation is expressible in the DuckDB oracle SQL of
+``__spark_entry__.py`` — generator and oracle cannot drift (FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import RDF_TYPE
+
+EX = "ex:"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def synthetic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → a violations-shaped table (FIXTURES.md §7): severity from
+    event_type, shapes/paths/components spread deterministically."""
+    ev = load(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "Violation")
+        .when(F.col("event_type").isin("click", "purchase"), "Warning")
+        .otherwise("Info")
+    )
+    return ev.select(
+        F.format_string("https://ex.org/dataset/%d", F.col("user_id")).alias("focusNode"),
+        F.format_string("ex:path%d", F.col("event_id") % 8).alias("resultPath"),
+        F.col("event_type").alias("value"),
+        F.lit(None)
+        .cast("array<struct<text:string,lang:string>>")
+        .alias("message"),
+        sev.alias("resultSeverity"),
+        F.format_string("sh:C%dConstraintComponent", F.col("event_id") % 3).alias(
+            "sourceConstraintComponent"
+        ),
+        F.format_string("ex:Shape%d", F.col("user_id") % 5).alias("sourceShape"),
+    )
+
+
+# SQL fragment equivalent of synthetic_violations for the DuckDB oracle.
+SYNTHETIC_VIOLATIONS_SQL = """
+SELECT
+  'https://ex.org/dataset/' || CAST(user_id AS VARCHAR)         AS focusNode,
+  'ex:path' || CAST(event_id % 8 AS VARCHAR)                    AS resultPath,
+  event_type                                                    AS value,
+  CASE WHEN event_type = 'error' THEN 'Violation'
+       WHEN event_type IN ('click','purchase') THEN 'Warning'
+       ELSE 'Info' END                                          AS resultSeverity,
+  'sh:C' || CAST(event_id % 3 AS VARCHAR) || 'ConstraintComponent' AS sourceConstraintComponent,
+  'ex:Shape' || CAST(user_id % 5 AS VARCHAR)                    AS sourceShape
+FROM events
+"""
+
+
+def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer/nation → long-format triples with engineered gaps so every
+    constraint component fires on real data:
+
+    - rdf:type ex:Customer for every customer (targeting)
+    - ex:goodbal only when c_acctbal >= 0           → minCount misses
+    - ex:name always                                → pattern checks
+    - ex:segment always                             → in-list checks
+    - ex:acctbal always (decimal literal)           → range checks
+    - ex:nation edge always; nation node typed ex:Nation only for
+      n_nationkey < 15                              → class misses
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    subj = F.format_string("cust:%d", F.col("c_custkey"))
+
+    def lit_triple(pred: str, value, dtype: str = "http://www.w3.org/2001/XMLSchema#string"):
+        return cust.select(
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            value.cast("string").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(dtype).alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        )
+
+    parts = [
+        cust.select(
+            subj.alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(EX + "Customer").alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        lit_triple(EX + "name", F.col("c_name")),
+        lit_triple(EX + "segment", F.col("c_mktsegment")),
+        lit_triple(
+            EX + "acctbal",
+            # decimal-cast before stringifying: double→string rendering
+            # differs across engines, decimal(12,2)→string does not
+            F.col("c_acctbal").cast("decimal(12,2)"),
+            "http://www.w3.org/2001/XMLSchema#decimal",
+        ),
+        cust.filter(F.col("c_acctbal") >= 0).select(
+            subj.alias("subject"),
+            F.lit(EX + "goodbal").alias("predicate"),
+            F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        cust.select(
+            subj.alias("subject"),
+            F.lit(EX + "nation").alias("predicate"),
+            F.format_string("nation:%d", F.col("c_nationkey")).alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        nation.filter(F.col("n_nationkey") < 15).select(
+            F.format_string("nation:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(EX + "Nation").alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def nation_dcat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation/region → a mini DCAT catalog in triples form, with engineered
+    gaps covering every branch of the discovery title coalesce
+    (dct:title ?? foaf:name ?? 'Unnamed Dataset' — SURVEY.md §2.2 P4):
+
+    - every nation is a dcat:Dataset
+    - dct:title = n_name when n_nationkey % 3 != 0
+    - foaf:name = lower(n_name) when n_nationkey % 6 == 0
+    - (nationkey % 3 == 0 and % 6 != 0 → Unnamed Dataset)
+    - dct:publisher = region ref; dcat:keyword = n_name and 'key<region>'
+    """
+    nation = load(spark, sf_dir, "nation")
+    subj = F.format_string("n:%d", F.col("n_nationkey"))
+    DCAT = "http://www.w3.org/ns/dcat#"
+    DCT = "http://purl.org/dc/terms/"
+    FOAF = "http://xmlns.com/foaf/0.1/"
+
+    def t(df, pred, value, otype="literal"):
+        return df.select(
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            value.cast("string").alias("object_value"),
+            F.lit(otype).alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        )
+
+    parts = [
+        t(nation, RDF_TYPE, F.lit(DCAT + "Dataset"), "iri"),
+        t(nation.filter(F.col("n_nationkey") % 3 != 0), DCT + "title", F.col("n_name")),
+        t(nation.filter(F.col("n_nationkey") % 6 == 0), FOAF + "name", F.lower("n_name")),
+        t(nation, DCT + "publisher", F.format_string("r:%d", F.col("n_regionkey")), "iri"),
+        t(nation, DCAT + "keyword", F.col("n_name")),
+        t(nation, DCAT + "keyword", F.format_string("key%d", F.col("n_regionkey"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def customer_constraints() -> list[dict]:
+    """Constraint rows matching ``customer_triples`` (compiled form, no
+    Turtle needed — this is the plugin surface of SURVEY.md §2.10)."""
+
+    def row(cid, **kw):
+        base = {
+            "constraint_id": cid,
+            "shape_iri": EX + "CustomerShape",
+            "target_class": EX + "Customer",
+            "path": None,
+            "path_steps": None,
+            "min_count": None,
+            "max_count": None,
+            "datatype": None,
+            "node_kind": None,
+            "pattern": None,
+            "flags": None,
+            "in_list": None,
+            "class_iri": None,
+            "min_inclusive": None,
+            "max_inclusive": None,
+            "severity": "Violation",
+            "messages": None,
+            "foaf_page": None,
+        }
+        base.update(kw)
+        return base
+
+    return [
+        row(1, path=EX + "goodbal", path_steps=[[EX + "goodbal"]], min_count=1),
+        row(
+            2,
+            path=EX + "name",
+            path_steps=[[EX + "name"]],
+            pattern="^Customer#000000[0-9]{3}$",
+            severity="Warning",
+        ),
+        row(
+            3,
+            path=EX + "segment",
+            path_steps=[[EX + "segment"]],
+            in_list=["BUILDING", "MACHINERY", "AUTOMOBILE"],
+            severity="Info",
+        ),
+        row(4, path=EX + "acctbal", path_steps=[[EX + "acctbal"]], min_inclusive=0.0),
+        row(5, path=EX + "nation", path_steps=[[EX + "nation"]], class_iri=EX + "Nation"),
+    ]

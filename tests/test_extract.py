@@ -1,0 +1,91 @@
+"""Extraction-stage tests: byte-identity invariant + P/R of the full
+extract → link → canonicalize chain against the generated oracle
+(BASELINE.json: byte-identical text per url; P/R ≥ 0.95 on emitted triples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.operators.linking import alias_dict_df, link_mentions
+from shacl_validator_spark.plans.pipeline import canonicalize, typed_triples
+from shacl_validator_spark.sources.extract import (
+    KG,
+    extract_raw_triples,
+    extract_text,
+    mentions_from_raw,
+)
+from shacl_validator_spark.sources.pages import (
+    alias_rows,
+    documents_as_pages,
+    expected_triples,
+    synthesize_pages,
+)
+
+N = 300
+REL_PREDS = [KG + "locatedIn", KG + "publishes", KG + "founded"]
+
+
+def test_byte_identity(spark):
+    pages = synthesize_pages(spark, N)
+    mism = pages.withColumn("ext", extract_text(F.col("html"))).filter(
+        F.col("ext") != F.col("text")
+    )
+    assert mism.count() == 0
+
+
+def test_byte_identity_documents_adapter(spark):
+    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
+    mism = pages.withColumn("ext", extract_text(F.col("html"))).filter(
+        F.col("ext") != F.col("text")
+    )
+    assert mism.count() == 0
+
+
+def test_extraction_pr(spark):
+    """P/R == 1.0 on the synthetic corpus (north star requires ≥ 0.95)."""
+    pages = synthesize_pages(spark, N).cache()
+    raw = extract_raw_triples(pages).cache()
+    mentions = mentions_from_raw(raw)
+    linked = link_mentions(spark, mentions, alias_dict_df(spark, alias_rows()))
+    smap = canonicalize(spark, linked)
+    emitted = (
+        typed_triples(raw, smap)
+        .filter(F.col("predicate").isin(REL_PREDS))
+        .select("subject", "predicate", "object_value")
+        .dropDuplicates()
+        .cache()
+    )
+    exp = expected_triples(spark, N).cache()
+    tp = emitted.join(exp, ["subject", "predicate", "object_value"]).count()
+    n_emitted, n_expected = emitted.count(), exp.count()
+    precision = tp / n_emitted
+    recall = tp / n_expected
+    assert precision >= 0.95, (tp, n_emitted)
+    assert recall >= 0.95, (tp, n_expected)
+
+
+def test_lsh_links_unseen_aliases(spark):
+    """Surfaces missing from the dictionary resolve via MinHash-LSH to the
+    nearest alias (typo'd org names)."""
+    mentions = spark.createDataFrame(
+        [("Acme Corpp", "http://example.org/kg#Organization"),
+         ("Globex Incc", "http://example.org/kg#Organization")],
+        "surface string, ent_class string",
+    )
+    linked = link_mentions(spark, mentions, alias_dict_df(spark, alias_rows()))
+    got = {r.surface: r.canonical_id for r in linked.collect()}
+    assert got["Acme Corpp"] == "org:acme"
+    assert got["Globex Incc"] == "org:globex"
+
+
+def test_unlinkable_surface_gets_stable_id(spark):
+    mentions = spark.createDataFrame(
+        [("Zzyzx Quux Entity", "http://example.org/kg#Organization")],
+        "surface string, ent_class string",
+    )
+    linked = link_mentions(
+        spark, mentions, alias_dict_df(spark, alias_rows()), lsh_threshold=0.3
+    )
+    got = linked.collect()[0]
+    assert got.canonical_id == "surface:zzyzx quux entity"

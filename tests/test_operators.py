@@ -1,0 +1,127 @@
+"""Unit tests for dedup, similarity, components, salted counts, analytics,
+and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.operators.components import connected_components
+from shacl_validator_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from shacl_validator_spark.operators.linking import salted_count
+from shacl_validator_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (4, "completely different text about spark dataframes here"),
+        (5, "another unrelated document mentioning entity linking"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 2 and g.keeper == 1 and g.doc_ids == [1, 2]
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup above 0.3
+    assert (1, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")],
+        "src string, dst string",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f"
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id")
+    )
+    salted = {r.k: r.n for r in salted_count(df, "k").collect()}
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert salted == plain
+
+
+def test_brute_force_topk_and_lsh(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i / 50 * math.pi
+        rows.append((i, [float(math.cos(angle)), float(math.sin(angle)), 0.0, 0.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(vecs.filter(F.col("vec_id") > 0), queries, k=3).collect()
+    assert [r.vec_id for r in top] == [1, 2, 3]  # nearest angles
+    approx = lsh_topk(vecs.filter(F.col("vec_id") > 0), queries, k=3, dim=4).collect()
+    assert len(approx) <= 3
+    assert all(r.cos > 0.5 for r in approx)
+
+
+def test_multimodal_features(spark):
+    from shacl_validator_spark.sources.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNGfake", {"mime": "image/png", "width": 8, "height": 8, "duration_ms": None}),
+        (2, "video", b"\x00\x00ftypfake", {"mime": "video/mp4", "width": 16, "height": 16, "duration_ms": 3500}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    feats = extract_features(media, dim=8).collect()
+    assert {f.media_id for f in feats} == {1, 2}
+    assert all(len(f.feature) == 8 for f in feats)
+    # deterministic
+    feats2 = extract_features(media, dim=8).collect()
+    assert {f.media_id: f.feature for f in feats} == {f.media_id: f.feature for f in feats2}
+
+    resized = resize_images(media, 4, 4).collect()
+    assert all(r.meta.width == 4 for r in resized)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [f.ts_ms for f in frames] == [0, 1000, 2000, 3000]
