@@ -354,6 +354,97 @@ def q_discovery_search(spark, sf_dir):
     return search_datasets(ds, "an", limit=50).select("id", "title")
 
 
+def q_discovery_distributions(spark, sf_dir):
+    from shacl_validator_spark.operators.discovery import extract_distributions
+
+    d = extract_distributions(nation_dcat_triples(spark, sf_dir))
+    return d.select("dataset_id", "id", "format", "accessURL", "byteSize")
+
+
+def q_discovery_formats(spark, sf_dir):
+    from shacl_validator_spark.operators.discovery import (
+        extract_distributions,
+        resolve_formats,
+    )
+
+    t = nation_dcat_triples(spark, sf_dir)
+    d = resolve_formats(t, extract_distributions(t))
+    return d.select("id", "resolved_format")
+
+
+def q_compatible_distributions(spark, sf_dir):
+    from shacl_validator_spark.operators.discovery import (
+        extract_distributions,
+        is_compatible,
+    )
+
+    d = extract_distributions(nation_dcat_triples(spark, sf_dir))
+    return d.filter(
+        is_compatible(F.col("format"), F.col("mediaType"), F.col("accessURL"))
+    ).select("id")
+
+
+def q_rdf_stats(spark, sf_dir):
+    # A1: distinct-subject counts by rdf:type (reference ValidatorInput.tsx:156-189)
+    t = nation_dcat_triples(spark, sf_dir)
+    types = [
+        "http://www.w3.org/ns/dcat#Dataset",
+        "http://www.w3.org/ns/dcat#Distribution",
+    ]
+    return (
+        t.filter(
+            (F.col("predicate") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+            & F.col("object_value").isin(types)
+        )
+        .groupBy(F.col("object_value").alias("entity_type"))
+        .agg(F.countDistinct("subject").alias("n"))
+    )
+
+
+def q_jsonld_pivot(spark, sf_dir):
+    # F15: group quads by subject into a deterministic property bag
+    t = nation_dcat_triples(spark, sf_dir)
+    return t.groupBy("subject").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.concat_ws("=", F.col("predicate"), F.col("object_value")))
+            ),
+            "||",
+        ).alias("props")
+    )
+
+
+def q_compact_predicates(spark, sf_dir):
+    from shacl_validator_spark.functions.text import compact_iri
+
+    t = nation_dcat_triples(spark, sf_dir)
+    return t.groupBy(compact_iri(F.col("predicate")).alias("pred")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_flatten_report(spark, sf_dir):
+    # W4: stable severity-ranked flatten with synthetic running id
+    from pyspark.sql.window import Window
+
+    v = synthetic_violations(spark, sf_dir).dropDuplicates(VIOLATION_OUT_COLS)
+    rank = (
+        F.when(F.col("resultSeverity") == "Violation", 0)
+        .when(F.col("resultSeverity") == "Warning", 1)
+        .otherwise(2)
+    )
+    w = Window.orderBy(
+        rank, "focusNode", "resultPath", "value", "sourceConstraintComponent"
+    )
+    return v.select(
+        F.row_number().over(w).alias("id"),
+        F.col("resultSeverity").alias("severity"),
+        "focusNode",
+        "resultPath",
+        "value",
+    )
+
+
 def q_salted_degree(spark, sf_dir):
     t = customer_triples(spark, sf_dir)
     return salted_count(t, "subject").orderBy(F.desc("n"), "subject").limit(10)
@@ -411,6 +502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "discovery_datasets": q_discovery_datasets,
         "discovery_search": q_discovery_search,
+        "discovery_distributions": q_discovery_distributions,
+        "discovery_formats": q_discovery_formats,
+        "compatible_distributions": q_compatible_distributions,
+        "rdf_stats": q_rdf_stats,
+        "jsonld_pivot": q_jsonld_pivot,
+        "compact_predicates": q_compact_predicates,
+        "flatten_report": q_flatten_report,
         "salted_degree": q_salted_degree,
         "extract_relations": q_extract_relations,
         "byte_identity_failures": q_byte_identity_failures,
@@ -428,7 +526,7 @@ _CUSTOMER_TARGETS = "SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode, 
 
 _TOKEN_RE_SQL = "'[A-Za-z0-9]+(?:''[a-z]+)?'"
 
-_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -643,8 +741,8 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_dup_pairs"] = f"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM {_DOCS_DOUBLED_SQL} a JOIN {_DOCS_DOUBLED_SQL} b
-          ON regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g')
-           = regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')
+          ON trim(regexp_replace(lower(a.text), '\\s+', ' ', 'g'))
+           = trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))
          AND a.doc_id < b.doc_id
     """
 
@@ -728,6 +826,136 @@ def oracle_sql() -> dict[str, str]:
         WHERE strpos(lower(title), 'an') > 0
            OR len(list_filter(kw, k -> strpos(lower(k), 'an') > 0)) > 0
         ORDER BY id LIMIT 50
+    """
+
+    sql["discovery_distributions"] = """
+        SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS dataset_id,
+               'd:' || CAST(n_nationkey AS VARCHAR) || '_1' AS id,
+               'text/csv' AS format,
+               'https://data.example.org/' || CAST(n_nationkey AS VARCHAR) || '.csv' AS accessURL,
+               CAST(n_nationkey * 1000 + 24 AS BIGINT) AS byteSize
+        FROM nation
+        UNION ALL
+        SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+               'd:' || CAST(n_nationkey AS VARCHAR) || '_2',
+               'f:' || CAST(n_nationkey AS VARCHAR),
+               NULL, NULL
+        FROM nation
+    """
+
+    sql["discovery_formats"] = """
+        SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_1' AS id,
+               'text/csv' AS resolved_format
+        FROM nation
+        UNION ALL
+        SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_2',
+               CASE WHEN n_nationkey % 2 = 0 THEN 'application/json' ELSE 'JSON' END
+        FROM nation
+    """
+
+    sql["compatible_distributions"] = """
+        SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_1' AS id FROM nation
+    """
+
+    sql["rdf_stats"] = """
+        SELECT 'http://www.w3.org/ns/dcat#Dataset' AS entity_type,
+               COUNT(DISTINCT n_nationkey) AS n FROM nation
+        UNION ALL
+        SELECT 'http://www.w3.org/ns/dcat#Distribution',
+               2 * COUNT(DISTINCT n_nationkey) FROM nation
+    """
+
+    sql["jsonld_pivot"] = """
+        WITH triples AS (
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS subject,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type=http://www.w3.org/ns/dcat#Dataset' AS pv
+          FROM nation
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://purl.org/dc/terms/title=' || n_name
+          FROM nation WHERE n_nationkey % 3 <> 0
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://xmlns.com/foaf/0.1/name=' || lower(n_name)
+          FROM nation WHERE n_nationkey % 6 = 0
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://purl.org/dc/terms/publisher=r:' || CAST(n_regionkey AS VARCHAR)
+          FROM nation
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/ns/dcat#keyword=' || n_name
+          FROM nation
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/ns/dcat#keyword=key' || CAST(n_regionkey AS VARCHAR)
+          FROM nation
+          UNION ALL
+          SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/ns/dcat#distribution=d:' || CAST(n_nationkey AS VARCHAR) || '_' || s
+          FROM nation, (SELECT UNNEST(['1','2']) AS s)
+          UNION ALL
+          SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_' || s,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type=http://www.w3.org/ns/dcat#Distribution'
+          FROM nation, (SELECT UNNEST(['1','2']) AS s)
+          UNION ALL
+          SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_1',
+                 'http://purl.org/dc/terms/format=text/csv' FROM nation
+          UNION ALL
+          SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_1',
+                 'http://www.w3.org/ns/dcat#accessURL=https://data.example.org/' || CAST(n_nationkey AS VARCHAR) || '.csv'
+          FROM nation
+          UNION ALL
+          SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_1',
+                 'http://www.w3.org/ns/dcat#byteSize=' || CAST(n_nationkey * 1000 + 24 AS VARCHAR)
+          FROM nation
+          UNION ALL
+          SELECT 'd:' || CAST(n_nationkey AS VARCHAR) || '_2',
+                 'http://purl.org/dc/terms/format=f:' || CAST(n_nationkey AS VARCHAR)
+          FROM nation
+          UNION ALL
+          SELECT 'f:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type=http://purl.org/dc/terms/IMT'
+          FROM nation
+          UNION ALL
+          SELECT 'f:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#value=application/json'
+          FROM nation WHERE n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 'f:' || CAST(n_nationkey AS VARCHAR),
+                 'http://www.w3.org/2000/01/rdf-schema#label=JSON'
+          FROM nation
+        )
+        SELECT subject,
+               list_aggregate(list_sort(list(pv)), 'string_agg', '||') AS props
+        FROM triples GROUP BY subject
+    """
+
+    sql["compact_predicates"] = """
+        WITH n AS (SELECT COUNT(*) AS c FROM nation),
+             t3 AS (SELECT COUNT(*) AS c FROM nation WHERE n_nationkey % 3 <> 0),
+             t6 AS (SELECT COUNT(*) AS c FROM nation WHERE n_nationkey % 6 = 0),
+             t2 AS (SELECT COUNT(*) AS c FROM nation WHERE n_nationkey % 2 = 0)
+        SELECT 'rdf:type' AS pred, 4 * n.c AS n FROM n
+        UNION ALL SELECT 'dct:title', t3.c FROM t3
+        UNION ALL SELECT 'foaf:name', t6.c FROM t6
+        UNION ALL SELECT 'dct:publisher', n.c FROM n
+        UNION ALL SELECT 'dcat:keyword', 2 * n.c FROM n
+        UNION ALL SELECT 'dcat:distribution', 2 * n.c FROM n
+        UNION ALL SELECT 'dct:format', 2 * n.c FROM n
+        UNION ALL SELECT 'dcat:accessURL', n.c FROM n
+        UNION ALL SELECT 'dcat:byteSize', n.c FROM n
+        UNION ALL SELECT 'rdf:value', t2.c FROM t2
+        UNION ALL SELECT 'rdfs:label', n.c FROM n
+    """
+
+    sql["flatten_report"] = f"""
+        WITH v AS (SELECT DISTINCT * FROM {_V} vv)
+        SELECT ROW_NUMBER() OVER (ORDER BY
+                 CASE resultSeverity WHEN 'Violation' THEN 0 WHEN 'Warning' THEN 1 ELSE 2 END,
+                 focusNode, resultPath, value, sourceConstraintComponent) AS id,
+               resultSeverity AS severity, focusNode, resultPath, value
+        FROM v
     """
 
     sql["salted_degree"] = """

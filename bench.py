@@ -100,6 +100,7 @@ def run_bench(sf_dir: str, cpus: int, pipeline_pages: int | None = None) -> dict
         "pipeline_pages": n_pages,
         "pipeline_triples_in": res.triples_in,
         "pipeline_triples_valid": res.triples_valid,
+        "pipeline_stage_seconds": res.stage_seconds,
         "validated_triples_per_sec": round(valid_per_sec, 1),
         "extracted_triples_per_sec": round(triples_per_sec, 1),
     }

@@ -37,6 +37,44 @@ def severity_from_iri(col: Column) -> Column:
     )
 
 
+# IRI compaction prefix table — reference ValidationResults.tsx:37-77 (F7).
+PREFIX_TABLE: list[tuple[str, str]] = [
+    ("dcat", "http://www.w3.org/ns/dcat#"),
+    ("dct", "http://purl.org/dc/terms/"),
+    ("foaf", "http://xmlns.com/foaf/0.1/"),
+    ("sh", "http://www.w3.org/ns/shacl#"),
+    ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+    ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+    ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+    ("owl", "http://www.w3.org/2002/07/owl#"),
+    ("skos", "http://www.w3.org/2004/02/skos/core#"),
+    ("vcard", "http://www.w3.org/2006/vcard/ns#"),
+    ("adms", "http://www.w3.org/ns/adms#"),
+    ("schema", "http://schema.org/"),
+    ("time", "http://www.w3.org/2006/time#"),
+    ("locn", "http://www.w3.org/ns/locn#"),
+    ("prov", "http://www.w3.org/ns/prov#"),
+    ("odrl", "http://www.w3.org/ns/odrl/2/"),
+    ("spdx", "http://spdx.org/rdf/terms#"),
+    ("dqv", "http://www.w3.org/ns/dqv#"),
+    ("eli", "http://data.europa.eu/eli/ontology#"),
+    ("dcatap", "http://data.europa.eu/r5r/"),
+    ("geodcat", "http://data.europa.eu/930/"),
+    ("cnt", "http://www.w3.org/2011/content#"),
+]
+
+
+def compact_iri(col: Column) -> Column:
+    """Compact an IRI via the prefix table; fallback to the `#`/`/` local
+    name — reference ValidationResults.tsx:37-77 (F7). Pure when-chain."""
+    out = None
+    for pfx, ns in PREFIX_TABLE:
+        cond = col.startswith(ns)
+        val = F.concat(F.lit(pfx + ":"), F.substring(col, len(ns) + 1, 10_000))
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(local_name(col))
+
+
 # --- training-data text analysis --------------------------------------------
 
 # Tiny stopword sets per language for the n-gram language-ID heuristic;
@@ -98,5 +136,5 @@ def quality_score(text: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint (rolling-hash stand-in):
     xxhash64 of the whitespace-normalized, lowercased text."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.xxhash64(normalized)

@@ -23,7 +23,9 @@ from ..functions.text import TOKEN_PATTERN
 
 
 def _normalized(text) -> F.Column:
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # collapse-then-trim: Spark/DuckDB trim() strips spaces only, so newlines
+    # must be collapsed to spaces before trimming
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +53,7 @@ class PipelineResult:
     merged: int
     entities: DataFrame  # (canonical_id, surface_forms, ent_class)
     violations_df: DataFrame
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def canonicalize(
@@ -228,6 +230,7 @@ def run_pipeline(
     adict = alias_dict_df(spark, alias_rows() + (extra_alias_rows or []))
 
     totals = {"triples_in": 0, "triples_valid": 0, "violations": 0, "merged": 0}
+    stage_seconds: dict[str, float] = {}
     entities = None
     viol_all = None
 
@@ -246,13 +249,27 @@ def run_pipeline(
         # linking map and typed triples are computed once, and the
         # multi-branch validation plan reads materialized inputs (on a real
         # cluster these become reliable checkpoints / intermediate tables)
+        t0 = time.time()
         raw = extract_raw_triples(batch_pages).localCheckpoint(eager=True)
+        stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
+
+        t0 = time.time()
         mentions = mentions_from_raw(raw)
         linked = link_mentions(spark, mentions, adict)
         surface_map = canonicalize(spark, linked).localCheckpoint(eager=True)
-        triples = typed_triples(raw, surface_map).localCheckpoint(eager=True)
+        stage_seconds["link_canon"] = (
+            stage_seconds.get("link_canon", 0.0) + time.time() - t0
+        )
 
+        t0 = time.time()
+        triples = typed_triples(raw, surface_map).localCheckpoint(eager=True)
+        stage_seconds["typed_triples"] = (
+            stage_seconds.get("typed_triples", 0.0) + time.time() - t0
+        )
+
+        t0 = time.time()
         violations = validate(spark, triples, shapes).localCheckpoint(eager=True)
+        stage_seconds["validate"] = stage_seconds.get("validate", 0.0) + time.time() - t0
         bad_focus = (
             violations.filter(F.col("resultSeverity") == SEVERITY_VIOLATION)
             .select(F.col("focusNode").alias("subject"))
@@ -260,10 +277,12 @@ def run_pipeline(
         )
         conformant = triples.join(bad_focus, "subject", "left_anti")
 
+        t0 = time.time()
         n_in = triples.count()
         n_viol = violations.count()
         merged = merge_triples(spark, table_path, conformant, n_buckets=n_buckets)
         n_valid = conformant.count()
+        stage_seconds["merge"] = stage_seconds.get("merge", 0.0) + time.time() - t0
 
         ent = surface_map.groupBy("canonical_id").agg(
             F.sort_array(F.collect_set("surface")).alias("surface_forms"),
@@ -313,4 +332,5 @@ def run_pipeline(
         merged=totals["merged"],
         entities=entities,
         violations_df=viol_all,
+        stage_seconds={k: round(v, 3) for k, v in stage_seconds.items()},
     )

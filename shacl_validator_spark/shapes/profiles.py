@@ -118,7 +118,7 @@ kg:PlaceShape a sh:NodeShape ;
     sh:property [
         sh:path kg:name ;
         sh:minCount 1 ;
-        sh:maxCount 1 ;
+        sh:maxCount 3 ;
         sh:severity sh:Violation ;
     ] .
 

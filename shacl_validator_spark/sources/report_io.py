@@ -160,13 +160,13 @@ def flatten_for_csv(results: DataFrame, preferred_lang: str = "en") -> DataFrame
     msgs = F.coalesce(F.col("message"), F.array())
 
     def pick(lang_match):
-        return F.element_at(F.filter(msgs, lang_match), 1)["text"]
+        return F.try_element_at(F.filter(msgs, lang_match), F.lit(1))["text"]
 
     message_text = F.coalesce(
         pick(lambda m: m["lang"] == preferred_lang),
         pick(lambda m: m["lang"] == "es"),
         pick(lambda m: m["lang"].isNull()),
-        F.element_at(msgs, 1)["text"],
+        F.try_element_at(msgs, F.lit(1))["text"],
     )
     return results.select(
         F.col("resultSeverity").alias("severity"),

@@ -155,6 +155,7 @@ def nation_dcat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCAT = "http://www.w3.org/ns/dcat#"
     DCT = "http://purl.org/dc/terms/"
     FOAF = "http://xmlns.com/foaf/0.1/"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 
     def t(df, pred, value, otype="literal"):
         return df.select(
@@ -174,6 +175,64 @@ def nation_dcat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(nation, DCT + "publisher", F.format_string("r:%d", F.col("n_regionkey")), "iri"),
         t(nation, DCAT + "keyword", F.col("n_name")),
         t(nation, DCAT + "keyword", F.format_string("key%d", F.col("n_regionkey"))),
+        # distributions (J2): two per dataset; _1 is a csv with accessURL,
+        # _2 carries a dct:IMT format node (J3 resolution path)
+        t(nation, DCAT + "distribution", F.format_string("d:%d_1", F.col("n_nationkey")), "iri"),
+        t(nation, DCAT + "distribution", F.format_string("d:%d_2", F.col("n_nationkey")), "iri"),
+    ]
+
+    def dist(suffix: str, pred: str, value, otype="literal"):
+        return nation.select(
+            F.format_string(f"d:%d_{suffix}", F.col("n_nationkey")).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            value.cast("string").alias("object_value"),
+            F.lit(otype).alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        )
+
+    parts += [
+        dist("1", RDF_TYPE, F.lit(DCAT + "Distribution"), "iri"),
+        dist("2", RDF_TYPE, F.lit(DCAT + "Distribution"), "iri"),
+        dist("1", DCT + "format", F.lit("text/csv")),
+        dist(
+            "1",
+            DCAT + "accessURL",
+            F.format_string("https://data.example.org/%d.csv", F.col("n_nationkey")),
+            "iri",
+        ),
+        dist("1", DCAT + "byteSize", (F.col("n_nationkey") * 1000 + 24)),
+        dist("2", DCT + "format", F.format_string("f:%d", F.col("n_nationkey")), "iri"),
+        # IMT format nodes: typed dct:IMT with rdf:value (preferred) for even
+        # keys, only rdfs:label for odd keys
+        nation.select(
+            F.format_string("f:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(DCT + "IMT").alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        nation.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.format_string("f:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#value").alias("predicate"),
+            F.lit("application/json").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        nation.select(
+            F.format_string("f:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(RDFS + "label").alias("predicate"),
+            F.lit("JSON").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:

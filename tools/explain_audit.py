@@ -1,0 +1,93 @@
+"""Plan audit: dump `.explain("formatted")` for the key operators and grep
+for the plan properties that matter at 100 TB (SURVEY.md §4):
+
+- broadcast joins on constraint/alias/prefix sides (no shuffle of the big side)
+- PushedFilters / ReadSchema pruning on parquet scans
+- no BatchEvalPython/ArrowEvalPython in the validation plan (pure JVM)
+- TakeOrderedAndProject for top-K queries
+
+Writes plans to BENCH/plans/*.txt and prints a one-line verdict per check.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+from shacl_validator_spark.session import get_spark  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "plans")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    qs = entry.queries()
+
+    checks = []
+
+    def audit(name: str, predicate, description: str):
+        df = qs[name](spark, sf_dir)
+        text = plan_of(df)
+        with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
+            f.write(text)
+        ok = predicate(text)
+        checks.append((name, description, ok))
+        print(("PASS " if ok else "FAIL ") + f"{name}: {description}")
+
+    audit(
+        "shacl_report_summary",
+        lambda t: "BroadcastHashJoin" in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "validation uses broadcast joins, no Python in plan",
+    )
+    audit(
+        "tpch_q1",
+        lambda t: "PushedFilters: [IsNotNull(l_shipdate)" in t
+        or "PushedFilters: [" in t,
+        "filter pushed to parquet scan",
+    )
+    audit(
+        "tpch_q1",
+        lambda t: "l_comment" not in t,
+        "column pruning: unused columns not read",
+    )
+    audit(
+        "revenue_by_nation",
+        lambda t: "BroadcastHashJoin" in t,
+        "small dim (nation) broadcast",
+    )
+    audit(
+        "top_parts",
+        lambda t: "TakeOrderedAndProject" in t,
+        "top-K planned as TakeOrderedAndProject (no full sort)",
+    )
+    audit(
+        "severity_summary",
+        lambda t: "HashAggregate" in t,
+        "partial+final hash aggregation",
+    )
+
+    n_fail = sum(1 for _, _, ok in checks if not ok)
+    print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
+    raise SystemExit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
