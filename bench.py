@@ -32,7 +32,12 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_bench(sf_dir: str, cpus: int, pipeline_pages: int | None = None) -> dict:
+def run_bench(
+    sf_dir: str,
+    cpus: int,
+    pipeline_pages: int | None = None,
+    pipeline_only: bool = False,
+) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
@@ -64,6 +69,8 @@ def run_bench(sf_dir: str, cpus: int, pipeline_pages: int | None = None) -> dict
         "discovery_datasets",
         "extract_relations",
     ]
+    if pipeline_only:
+        headline = []
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
@@ -112,7 +119,9 @@ def main() -> None:
     pages = None
     if "--pages" in sys.argv:
         pages = int(sys.argv[sys.argv.index("--pages") + 1])
-    result = run_bench(sf_dir, cpus, pipeline_pages=pages)
+    result = run_bench(
+        sf_dir, cpus, pipeline_pages=pages, pipeline_only="--pipeline-only" in sys.argv
+    )
     print(json.dumps(result))
 
 

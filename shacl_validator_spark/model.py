@@ -78,6 +78,9 @@ VIOLATION_SCHEMA = T.StructType(
         T.StructField("resultSeverity", T.StringType(), False),
         T.StructField("sourceConstraintComponent", T.StringType(), True),
         T.StructField("sourceShape", T.StringType(), True),
+        # documentation link joined from the shapes graph (J4: foaf:page —
+        # reference SHACLValidationService.ts:249-269)
+        T.StructField("foafPage", T.StringType(), True),
     ]
 )
 

@@ -109,7 +109,10 @@ def link_mentions(
     (SURVEY.md §7.3 blank-node determinism).
     Returns the broadcastable map (surface, ent_class, canonical_id).
     """
-    exact = link_exact(mentions, alias_dict).cache()
+    # eager materialization: isEmpty() on the unresolved residue is a
+    # limit-1 probe and would leave a plain cache only partially filled,
+    # forcing the upstream distinct to recompute for later consumers
+    exact = link_exact(mentions, alias_dict).localCheckpoint(eager=True)
     unresolved = exact.filter(F.col("canonical_id").isNull()).select("surface", "ent_class")
     lsh = link_lsh(spark, unresolved, alias_dict, threshold=lsh_threshold)
     resolved = (

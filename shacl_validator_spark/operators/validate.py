@@ -78,7 +78,13 @@ def _message_col() -> F.Column:
 
 
 def _as_violations(df: DataFrame, component: str, value_col: F.Column) -> DataFrame:
-    """Project rule survivors into the sh:ValidationResult column set."""
+    """Project rule survivors into the sh:ValidationResult column set.
+
+    foafPage rides along from the broadcast constraint table — the Spark
+    form of the reference's violations ⟕ shapes foaf:page join (J4,
+    SHACLValidationService.ts:249-269): the join already happened when the
+    constraint table was broadcast, so no extra shuffle.
+    """
     return df.select(
         F.col("focusNode"),
         F.col("path").alias("resultPath"),
@@ -87,6 +93,7 @@ def _as_violations(df: DataFrame, component: str, value_col: F.Column) -> DataFr
         F.col("severity").alias("resultSeverity"),
         F.lit(component).alias("sourceConstraintComponent"),
         F.col("shape_iri").alias("sourceShape"),
+        F.col("foaf_page").alias("foafPage"),
     )
 
 
@@ -248,9 +255,6 @@ def validate(
             "object_type string, object_datatype string, object_lang string",
         )
 
-    # restrict values to targeted focus nodes; single big-big shuffle on
-    # (constraint_id, focusNode)
-    tv = targets.join(vals, ["constraint_id", "focusNode"], "left")
     facet_cols = [
         "path",
         "min_count",
@@ -265,24 +269,31 @@ def validate(
         "severity",
         "messages",
         "shape_iri",
+        "foaf_page",
     ]
-    # materialize the joined target×value×facet relation once — every rule
-    # branch below reads it; without this each branch of the final union
-    # recomputes the whole upstream (extraction included) in the same job
-    tvf = tv.join(
-        F.broadcast(cons.select("constraint_id", *facet_cols)), "constraint_id"
-    ).localCheckpoint(eager=True)
+    facets = F.broadcast(cons.select("constraint_id", *facet_cols))
+
+    # materialize targets and values once — every rule branch reads them;
+    # without this each branch of the final union recomputes the whole
+    # upstream (extraction included) in the same job
+    targets = targets.localCheckpoint(eager=True)
+    vals = vals.localCheckpoint(eager=True)
 
     out: list[DataFrame] = []
 
-    # --- cardinality rules (A9): targets-side left join ⇒ zero counts seen --
+    # --- cardinality rules (A9) -------------------------------------------
+    # two-phase: per-(constraint, focus) counts partial-aggregate map-side
+    # BEFORE touching targets (hub focus nodes never blow up a join), then a
+    # targets-side LEFT join so zero-value focus nodes are seen
+    # (the classic join-SHACL minCount bug, SURVEY.md §7.3)
+    val_counts = vals.groupBy("constraint_id", "focusNode").agg(
+        F.count("object_value").alias("_n")
+    )
     counts = (
-        tvf.filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
-        .groupBy("constraint_id", "focusNode")
-        .agg(
-            F.count("object_value").alias("n_values"),
-            *[F.first(c).alias(c) for c in facet_cols],
-        )
+        targets.join(val_counts, ["constraint_id", "focusNode"], "left")
+        .withColumn("n_values", F.coalesce(F.col("_n"), F.lit(0)))
+        .join(facets, "constraint_id")
+        .filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
     )
     out.append(
         _as_violations(
@@ -303,7 +314,11 @@ def validate(
         )
     )
 
-    values = tvf.filter(F.col("object_value").isNotNull())
+    # value rules: semi-join restriction to targeted focus nodes (AQE
+    # skew-join splits hub-entity partitions), then broadcast facets
+    values = vals.join(targets, ["constraint_id", "focusNode"], "left_semi").join(
+        facets, "constraint_id"
+    )
 
     # --- sh:datatype ---------------------------------------------------------
     dt_bad = values.filter(F.col("datatype").isNotNull()).filter(
@@ -392,6 +407,7 @@ def _sentinel(spark: SparkSession, component: str, text: str) -> DataFrame:
         SEVERITY_VIOLATION,
         component,
         None,
+        None,
     )
     return spark.createDataFrame([row], VIOLATION_SCHEMA)
 
@@ -400,6 +416,7 @@ def validate_report(
     spark: SparkSession,
     triples: DataFrame,
     constraint_rows: list[dict],
+    custom_rules: list | None = None,
 ) -> ValidationReport:
     """Full report path: sentinels + rules + conforms flag.
 
@@ -407,7 +424,8 @@ def validate_report(
     (reference SHACLValidationService.ts:339-424): empty-shapes and
     empty-data sentinels first, then engine run, then severity partition.
     ``conforms`` is true iff there are no Violation-severity results
-    (SURVEY.md §2.4 A10).
+    (SURVEY.md §2.4 A10).  ``custom_rules`` are profile-specific DataFrame
+    rules (the SPARQLConstraintComponent surface, shapes/custom_rules.py).
     """
     if not constraint_rows:
         results = _sentinel(spark, SENTINEL_NO_SHAPES, "No SHACL shapes available")
@@ -416,5 +434,29 @@ def validate_report(
         results = _sentinel(spark, SENTINEL_EMPTY_CONTENT, "Empty RDF content")
         return ValidationReport(False, results, 1)
     results = validate(spark, triples, constraint_rows)
+    if custom_rules:
+        from ..shapes.custom_rules import apply_custom_rules
+
+        results = results.unionByName(apply_custom_rules(spark, triples, custom_rules))
     n_viol = results.filter(F.col("resultSeverity") == SEVERITY_VIOLATION).count()
     return ValidationReport(n_viol == 0, results, n_viol)
+
+
+def validate_turtle(
+    spark: SparkSession,
+    ttl: str,
+    constraint_rows: list[dict],
+    graph: str | None = None,
+) -> ValidationReport:
+    """Text entry point with the parse-error sentinel of the reference UI
+    (AppRouter.tsx:46-59): malformed input yields a one-violation report
+    with ``sourceConstraintComponent = system:ParseError``."""
+    from ..model import SENTINEL_PARSE_ERROR
+    from ..sources.rdf_io import triples_from_turtle
+
+    try:
+        triples = triples_from_turtle(spark, ttl, graph=graph)
+    except ValueError as e:
+        results = _sentinel(spark, SENTINEL_PARSE_ERROR, f"Parse error: {e}")
+        return ValidationReport(False, results, 1)
+    return validate_report(spark, triples, constraint_rows)

@@ -46,10 +46,16 @@ def merge_triples(
     ``partition_key``) — at 10^12 scale the anti-join never scans the whole
     table.
     """
-    keyed = with_partition_key(batch, n_buckets).dropDuplicates(MERGE_KEY)
+    # cluster rows by partition before writing: one file per touched
+    # partition instead of (tasks × partitions) small files
+    keyed = (
+        with_partition_key(batch, n_buckets)
+        .dropDuplicates(MERGE_KEY)
+        .repartition("partition_key")
+    )
     if not os.path.exists(table_path):
         keyed.write.mode("overwrite").partitionBy("partition_key").parquet(table_path)
-        return keyed.count()
+        return spark.read.parquet(table_path).count()
 
     touched = [r.partition_key for r in keyed.select("partition_key").dropDuplicates().collect()]
     existing = (
@@ -57,9 +63,8 @@ def merge_triples(
         .filter(F.col("partition_key").isin(touched))
         .select(*MERGE_KEY)
     )
-    fresh = keyed.join(existing, MERGE_KEY, "left_anti").cache()
+    fresh = keyed.join(existing, MERGE_KEY, "left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("partition_key").parquet(table_path)
-    fresh.unpersist()
     return n

@@ -254,9 +254,11 @@ def run_pipeline(
         stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
 
         t0 = time.time()
-        mentions = mentions_from_raw(raw)
+        # the distinct-surface set is tiny after dedup — materialize it so
+        # the exact-link/LSH/CC consumers never rescan the mention stream
+        mentions = mentions_from_raw(raw).localCheckpoint(eager=True)
         linked = link_mentions(spark, mentions, adict)
-        surface_map = canonicalize(spark, linked).localCheckpoint(eager=True)
+        surface_map = canonicalize(spark, linked, max_iter=3).localCheckpoint(eager=True)
         stage_seconds["link_canon"] = (
             stage_seconds.get("link_canon", 0.0) + time.time() - t0
         )

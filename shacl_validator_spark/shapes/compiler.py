@@ -495,6 +495,20 @@ def compile_shapes(ttl: str) -> list[dict]:
     return rows
 
 
+def compile_shape_files(ttls: list[str]) -> list[dict]:
+    """Union of several shape files into one constraint table (U1) — the
+    reference unions parsed quad sets per profile
+    (SHACLValidationService.ts:124-134); here the union is row concatenation
+    with re-numbered constraint ids."""
+    rows: list[dict] = []
+    for ttl in ttls:
+        for r in compile_shapes(ttl):
+            r = dict(r)
+            r["constraint_id"] = len(rows) + 1
+            rows.append(r)
+    return rows
+
+
 def constraints_df(spark: SparkSession, ttl_or_rows: str | list[dict]) -> DataFrame:
     """Constraint rows → small DataFrame ready for ``F.broadcast``.
 

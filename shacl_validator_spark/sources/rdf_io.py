@@ -39,6 +39,164 @@ def triples_from_turtle(
     return df.dropDuplicates()
 
 
+def triples_from_rdfxml(
+    spark: SparkSession, xml_text: str, graph: str | None = None
+) -> DataFrame:
+    """Minimal RDF/XML subset parser (S2 — reference RDFService.ts:60-69).
+
+    Supports the fixture-level subset: ``rdf:Description``/typed-node
+    elements with ``rdf:about``/``rdf:nodeID``, property child elements with
+    ``rdf:resource``, ``rdf:datatype``, ``xml:lang``, or text content.
+    Driver-side only — never on the hot path.
+    """
+    import xml.etree.ElementTree as ET
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    root = ET.fromstring(xml_text)
+    rows: list[tuple] = []
+    bnode_n = 0
+
+    def expand(tag: str) -> str:
+        # ElementTree gives '{ns}local'
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def node_id(el) -> str:
+        nonlocal bnode_n
+        about = el.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return about
+        nid = el.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return "_:" + nid
+        bnode_n += 1
+        return f"_:bx{bnode_n}"
+
+    def walk(el) -> str:
+        subj = node_id(el)
+        tag = expand(el.tag)
+        if tag != RDF_NS + "Description":
+            rows.append((subj, RDF_NS + "type", tag, "iri", None, None, graph))
+        for prop in el:
+            pred = expand(prop.tag)
+            res = prop.get(f"{{{RDF_NS}}}resource")
+            if res is not None:
+                rows.append((subj, pred, res, "iri", None, None, graph))
+                continue
+            nested = list(prop)
+            if nested:
+                child_id = walk(nested[0])
+                kind = "bnode" if child_id.startswith("_:") else "iri"
+                rows.append((subj, pred, child_id, kind, None, None, graph))
+                continue
+            dt = prop.get(f"{{{RDF_NS}}}datatype")
+            lang = prop.get("{http://www.w3.org/XML/1998/namespace}lang")
+            rows.append(
+                (
+                    subj,
+                    pred,
+                    prop.text or "",
+                    "literal",
+                    dt or ("http://www.w3.org/2001/XMLSchema#string" if not lang else None),
+                    lang.lower().split("-")[0] if lang else None,
+                    graph,
+                )
+            )
+        return subj
+
+    for el in root:
+        walk(el)
+    df = (
+        spark.createDataFrame(rows, schema=TRIPLE_SCHEMA)
+        if rows
+        else spark.createDataFrame([], TRIPLE_SCHEMA)
+    )
+    return df.dropDuplicates()
+
+
+def triples_from_jsonld(
+    spark: SparkSession, doc, graph: str | None = None
+) -> DataFrame:
+    """Minimal expanded-form JSON-LD loader (S3 — reference
+    RDFService.ts:89-94).  Accepts a dict or list of node objects with
+    ``@id``, ``@type`` and property arrays of ``{'@id'}`` / ``{'@value',
+    '@type'?, '@language'?}`` objects — the projection shape the reference
+    itself produces at ValidatorInput.tsx:133-154 (F15 inverse)."""
+    import json as _json
+
+    if isinstance(doc, str):
+        doc = _json.loads(doc)
+    nodes = doc if isinstance(doc, list) else [doc]
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows: list[tuple] = []
+    bnode_n = 0
+
+    def emit(subj: str, node: dict):
+        nonlocal bnode_n
+        for key, values in node.items():
+            if key == "@id":
+                continue
+            if key == "@type":
+                for t in values if isinstance(values, list) else [values]:
+                    rows.append((subj, RDF_NS + "type", t, "iri", None, None, graph))
+                continue
+            vlist = values if isinstance(values, list) else [values]
+            for v in vlist:
+                if isinstance(v, dict) and "@id" in v:
+                    oid = v["@id"]
+                    kind = "bnode" if oid.startswith("_:") else "iri"
+                    rows.append((subj, key, oid, kind, None, None, graph))
+                    nested = {k: x for k, x in v.items() if k != "@id"}
+                    if nested:
+                        emit(oid, v)
+                elif isinstance(v, dict):
+                    lang = v.get("@language")
+                    dt = v.get("@type")
+                    rows.append(
+                        (
+                            subj,
+                            key,
+                            str(v.get("@value", "")),
+                            "literal",
+                            dt
+                            or (
+                                "http://www.w3.org/2001/XMLSchema#string"
+                                if not lang
+                                else None
+                            ),
+                            lang.lower().split("-")[0] if lang else None,
+                            graph,
+                        )
+                    )
+                else:
+                    rows.append(
+                        (
+                            subj,
+                            key,
+                            str(v),
+                            "literal",
+                            "http://www.w3.org/2001/XMLSchema#string",
+                            None,
+                            graph,
+                        )
+                    )
+
+    for node in nodes:
+        nid = node.get("@id")
+        if nid is None:
+            bnode_n += 1
+            nid = f"_:bj{bnode_n}"
+        emit(nid, node)
+    df = (
+        spark.createDataFrame(rows, schema=TRIPLE_SCHEMA)
+        if rows
+        else spark.createDataFrame([], TRIPLE_SCHEMA)
+    )
+    return df.dropDuplicates()
+
+
 def detect_format(content: str, url: str | None = None, content_type: str | None = None) -> str:
     """Format sniffing by content-type, URL extension, then content prefix —
     reference src/services/RDFService.ts:125-157 (S4)."""

@@ -91,6 +91,8 @@ def report_to_turtle(
                 out.append(f"    sh:sourceShape <{r.sourceShape}> ;")
             else:
                 out.append(f'    sh:sourceShape "{_escape(r.sourceShape)}" ;')
+        if getattr(r, "foafPage", None):
+            out.append(f"    foaf:page <{r.foafPage}> ;")
         out[-1] = out[-1].rstrip(" ;") + " ."
     return "\n".join(out) + "\n"
 
@@ -133,6 +135,7 @@ def parse_report_turtle(spark: SparkSession, ttl: str) -> tuple[bool, DataFrame]
             {"text": m.value, "lang": m.lang.lower().split("-")[0] if m.lang else None}
             for m in g.objects(node, SH + "resultMessage")
         ]
+        page = g.first(node, "http://xmlns.com/foaf/0.1/page")
         rows.append(
             (
                 focus.value if focus else None,
@@ -142,6 +145,7 @@ def parse_report_turtle(spark: SparkSession, ttl: str) -> tuple[bool, DataFrame]
                 sev,
                 comp.value if comp else None,
                 shape.value if shape else None,
+                page.value if page else None,
             )
         )
     df = (

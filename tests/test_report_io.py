@@ -29,6 +29,7 @@ def _results(spark):
             "Violation",
             "http://www.w3.org/ns/shacl#MinCountConstraintComponent",
             "http://ex.org/Shape1",
+            "https://docs.example.org/shape1",
         ),
         (
             "http://ex.org/d2",
@@ -37,6 +38,7 @@ def _results(spark):
             [{"text": "solo-es", "lang": "es"}],
             "Warning",
             "http://www.w3.org/ns/shacl#PatternConstraintComponent",
+            None,
             None,
         ),
         (
@@ -47,6 +49,7 @@ def _results(spark):
             "Info",
             "http://www.w3.org/ns/shacl#InConstraintComponent",
             "http://ex.org/Shape2",
+            None,
         ),
     ]
     return spark.createDataFrame(rows, VIOLATION_SCHEMA)
