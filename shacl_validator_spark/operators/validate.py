@@ -77,7 +77,9 @@ def _message_col() -> F.Column:
     )
 
 
-def _as_violations(df: DataFrame, component: str, value_col: F.Column) -> DataFrame:
+def _as_violations(
+    df: DataFrame, component: str | F.Column, value_col: F.Column
+) -> DataFrame:
     """Project rule survivors into the sh:ValidationResult column set.
 
     foafPage rides along from the broadcast constraint table — the Spark
@@ -91,7 +93,9 @@ def _as_violations(df: DataFrame, component: str, value_col: F.Column) -> DataFr
         value_col.cast("string").alias("value"),
         _message_col().alias("message"),
         F.col("severity").alias("resultSeverity"),
-        F.lit(component).alias("sourceConstraintComponent"),
+        (component if isinstance(component, F.Column) else F.lit(component))
+        .cast("string")
+        .alias("sourceConstraintComponent"),
         F.col("shape_iri").alias("sourceShape"),
         F.col("foaf_page").alias("foafPage"),
     )
@@ -273,18 +277,23 @@ def validate(
     ]
     facets = F.broadcast(cons.select("constraint_id", *facet_cols))
 
-    # materialize targets and values once — every rule branch reads them;
-    # without this each branch of the final union recomputes the whole
-    # upstream (extraction included) in the same job
+    # materialize targets once — it is consumed by three joins below and is
+    # small (distinct typed focus nodes collapse massively after
+    # canonicalization), so a localCheckpoint is cheap and lets Spark
+    # broadcast it.  ``vals`` is deliberately NOT materialized: its three
+    # consumers are each one broadcast-join scan of the (ideally
+    # parquet-backed) triples table — rescanning columnar input beats paying
+    # the row-object cache-build cost of a 10^7-row localCheckpoint, and at
+    # cluster scale it would not fit executor storage anyway.
     targets = targets.localCheckpoint(eager=True)
-    vals = vals.localCheckpoint(eager=True)
 
     out: list[DataFrame] = []
 
     # --- cardinality rules (A9) -------------------------------------------
     # two-phase: per-(constraint, focus) counts partial-aggregate map-side
-    # BEFORE touching targets (hub focus nodes never blow up a join), then a
-    # targets-side LEFT join so zero-value focus nodes are seen
+    # BEFORE touching targets (hub focus nodes never blow up a join, and the
+    # shuffle after the map-side combine is only as big as the group count),
+    # then a targets-side LEFT join so zero-value focus nodes are seen
     # (the classic join-SHACL minCount bug, SURVEY.md §7.3)
     val_counts = vals.groupBy("constraint_id", "focusNode").agg(
         F.count("object_value").alias("_n")
@@ -314,80 +323,108 @@ def validate(
         )
     )
 
-    # value rules: semi-join restriction to targeted focus nodes (AQE
-    # skew-join splits hub-entity partitions), then broadcast facets
-    values = vals.join(targets, ["constraint_id", "focusNode"], "left_semi").join(
-        facets, "constraint_id"
-    )
+    # value rules: semi-join restriction to targeted focus nodes (targets is
+    # broadcast — no shuffle of the value stream), then broadcast facets
+    values = vals.join(
+        F.broadcast(targets), ["constraint_id", "focusNode"], "left_semi"
+    ).join(facets, "constraint_id")
 
-    # --- sh:datatype ---------------------------------------------------------
-    dt_bad = values.filter(F.col("datatype").isNotNull()).filter(
-        (F.col("object_type") != "literal")
-        | (_effective_datatype() != F.col("datatype"))
-        | ~_lexically_valid()
-    )
-    out.append(_as_violations(dt_bad, _component("Datatype"), F.col("object_value")))
-
-    # --- sh:pattern (Java-regex rlike; pattern pre-compiled per F1) ----------
-    pat_bad = values.filter(F.col("pattern").isNotNull()).filter(
-        (F.col("object_type") == "bnode")
-        | ~F.regexp_like(F.col("object_value"), F.col("pattern"))
-    )
-    out.append(_as_violations(pat_bad, _component("Pattern"), F.col("object_value")))
-
-    # --- sh:nodeKind ----------------------------------------------------------
-    nk = values.filter(F.col("node_kind").isNotNull())
-    nk_bad_parts = []
-    for kind, allowed in _NODE_KIND_SETS.items():
-        nk_bad_parts.append(
-            nk.filter(F.col("node_kind") == kind).filter(~F.col("object_type").isin(allowed))
-        )
-    nk_bad = nk_bad_parts[0]
-    for p in nk_bad_parts[1:]:
-        nk_bad = nk_bad.unionByName(p)
-    out.append(_as_violations(nk_bad, _component("NodeKind"), F.col("object_value")))
-
-    # --- sh:in (vocabulary membership) ----------------------------------------
-    in_bad = values.filter(F.col("in_list").isNotNull()).filter(
-        ~F.array_contains(F.col("in_list"), F.col("object_value"))
-    )
-    out.append(_as_violations(in_bad, _component("In"), F.col("object_value")))
-
-    # --- sh:minInclusive / sh:maxInclusive -------------------------------------
+    # --- all per-row value rules in ONE scan ---------------------------------
+    # The value stream is the big side (every (value occurrence × constraint)
+    # pair).  Evaluating each component as its own filter branch would rescan
+    # it once per component; instead every per-row check contributes one
+    # nullable slot to an array, and a single filter+explode emits the
+    # violation hits — one whole-stage-codegen pass over the stream, which is
+    # what keeps validation scan-bound (not rescan-bound) at 100 TB.
     num = F.col("object_value").cast("double")
-    rng = values.filter(
-        F.col("min_inclusive").isNotNull() | F.col("max_inclusive").isNotNull()
-    )
-    rng_min_bad = rng.filter(F.col("min_inclusive").isNotNull()).filter(
-        num.isNull() | (num < F.col("min_inclusive"))
-    )
-    rng_max_bad = rng.filter(F.col("max_inclusive").isNotNull()).filter(
-        num.isNull() | (num > F.col("max_inclusive"))
-    )
-    out.append(_as_violations(rng_min_bad, _component("MinInclusive"), F.col("object_value")))
-    out.append(_as_violations(rng_max_bad, _component("MaxInclusive"), F.col("object_value")))
 
-    # --- sh:class: left anti join of value nodes vs type triples (J6) ---------
+    def _hit(cond: F.Column, comp: str) -> F.Column:
+        return F.when(cond, F.lit(comp)).otherwise(F.lit(None).cast("string"))
+
+    nk_allowed = F.create_map(
+        *[
+            x
+            for kind, allowed in _NODE_KIND_SETS.items()
+            for x in (F.lit(kind), F.lit(",".join(allowed)))
+        ]
+    )
+    checks = F.array(
+        _hit(
+            F.col("datatype").isNotNull()
+            & (
+                (F.col("object_type") != "literal")
+                | (_effective_datatype() != F.col("datatype"))
+                | ~_lexically_valid()
+            ),
+            "Datatype",
+        ),
+        _hit(
+            F.col("pattern").isNotNull()
+            & (
+                (F.col("object_type") == "bnode")
+                | ~F.regexp_like(F.col("object_value"), F.col("pattern"))
+            ),
+            "Pattern",
+        ),
+        _hit(
+            F.col("node_kind").isNotNull()
+            & ~F.array_contains(
+                F.split(nk_allowed[F.col("node_kind")], ","), F.col("object_type")
+            ),
+            "NodeKind",
+        ),
+        _hit(
+            F.col("in_list").isNotNull()
+            & ~F.array_contains(F.col("in_list"), F.col("object_value")),
+            "In",
+        ),
+        _hit(
+            F.col("min_inclusive").isNotNull()
+            & (num.isNull() | (num < F.col("min_inclusive"))),
+            "MinInclusive",
+        ),
+        _hit(
+            F.col("max_inclusive").isNotNull()
+            & (num.isNull() | (num > F.col("max_inclusive"))),
+            "MaxInclusive",
+        ),
+        # sh:class on a literal value is always a violation (J6 fast half;
+        # the IRI half needs the type anti-join below)
+        _hit(
+            F.col("class_iri").isNotNull() & (F.col("object_type") == "literal"),
+            "Class",
+        ),
+    )
+    hits = values.select(
+        *values.columns,
+        F.explode(F.filter(checks, lambda c: c.isNotNull())).alias("_comp"),
+    )
+    out.append(
+        _as_violations(
+            hits,
+            F.concat(F.lit(SH), F.col("_comp"), F.lit("ConstraintComponent")),
+            F.col("object_value"),
+        )
+    )
+
+    # --- sh:class (IRI values): anti join value nodes vs type triples (J6) ---
+    # ``types`` is distinct (subject, cls) — at KG scale the canonical entity
+    # set is orders of magnitude smaller than the triple stream; an anti join
+    # is insensitive to duplicate build rows, and AQE turns it into a
+    # broadcast anti join when the type relation is small.
     cls_vals = values.filter(F.col("class_iri").isNotNull()).filter(
         F.col("object_type").isin("iri", "bnode")
     )
     typed = types.select(
         F.col("subject").alias("val_node"), F.col("cls").alias("val_cls")
     )
-    cls_bad = (
-        cls_vals.join(
-            typed,
-            (cls_vals["object_value"] == typed["val_node"])
-            & (cls_vals["class_iri"] == typed["val_cls"]),
-            "left",
-        )
-        .filter(F.col("val_node").isNull())
-    )
-    cls_lit = values.filter(F.col("class_iri").isNotNull()).filter(
-        F.col("object_type") == "literal"
+    cls_bad = cls_vals.join(
+        typed,
+        (cls_vals["object_value"] == typed["val_node"])
+        & (cls_vals["class_iri"] == typed["val_cls"]),
+        "left_anti",
     )
     out.append(_as_violations(cls_bad, _component("Class"), F.col("object_value")))
-    out.append(_as_violations(cls_lit, _component("Class"), F.col("object_value")))
 
     result = out[0]
     for part in out[1:]:

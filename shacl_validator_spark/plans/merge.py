@@ -39,22 +39,29 @@ def merge_triples(
     table_path: str,
     batch: DataFrame,
     n_buckets: int = 32,
+    assume_unique: bool = False,
 ) -> int:
     """MERGE WHEN NOT MATCHED THEN INSERT; returns rows inserted.
 
     Reads only the partitions the batch touches (partition pruning on
     ``partition_key``) — at 10^12 scale the anti-join never scans the whole
-    table.
+    table.  ``assume_unique=True`` skips the defensive dedup shuffle when the
+    caller guarantees the batch is already distinct on the MERGE key (the
+    pipeline's typed_triples stream is).
+
+    Skew note: ``partition_key`` is subject-derived and hub subjects make
+    some keys hot (BASELINE.json: "skewed hub entities"), so the pre-write
+    clustering repartitions on (partition_key, salt-from-graph) — each hot
+    partition is written by many parallel tasks, each producing one file in
+    the partition directory, instead of one straggler task per hot key.
     """
-    # cluster rows by partition before writing: one file per touched
-    # partition instead of (tasks × partitions) small files
-    keyed = (
-        with_partition_key(batch, n_buckets)
-        .dropDuplicates(MERGE_KEY)
-        .repartition("partition_key")
-    )
+    keyed = with_partition_key(batch, n_buckets)
+    if not assume_unique:
+        keyed = keyed.dropDuplicates(MERGE_KEY)
+    salt = F.pmod(F.xxhash64(F.col("graph")), 8).alias("_salt")
+    clustered = keyed.repartition(F.col("partition_key"), salt)
     if not os.path.exists(table_path):
-        keyed.write.mode("overwrite").partitionBy("partition_key").parquet(table_path)
+        clustered.write.mode("overwrite").partitionBy("partition_key").parquet(table_path)
         return spark.read.parquet(table_path).count()
 
     touched = [r.partition_key for r in keyed.select("partition_key").dropDuplicates().collect()]
@@ -63,7 +70,7 @@ def merge_triples(
         .filter(F.col("partition_key").isin(touched))
         .select(*MERGE_KEY)
     )
-    fresh = keyed.join(existing, MERGE_KEY, "left_anti").localCheckpoint(eager=True)
+    fresh = clustered.join(existing, MERGE_KEY, "left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("partition_key").parquet(table_path)

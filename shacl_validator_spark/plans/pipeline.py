@@ -97,6 +97,18 @@ def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
 
     Emits relation triples plus the rdf:type support triples implied by
     relation slots (needed by sh:class checks, SURVEY.md §2.8).
+
+    Scale design — dedup without a wide shuffle: a triple's duplicates can
+    only come from the same source page, because ``graph`` (the source url)
+    is part of the RDF-set identity (SURVEY.md §2.6 U4).  When ``raw`` is
+    hash-partitioned by ``src_url`` (the pipeline repartitions once at the
+    extract boundary, 5 narrow columns), every branch below preserves that
+    partitioning through broadcast joins and projections, and since the
+    partitioning key is a subset of each branch's dedup key set Catalyst
+    plans the per-branch ``dropDuplicates`` as a partition-local hash
+    aggregate — **no exchange**.  Branches are predicate-disjoint, so the
+    union of per-branch dedups equals a global dedup at a fraction of the
+    shuffle cost (the big win at 10^12 rows).
     """
     smap = F.broadcast(surface_map.select("surface", "canonical_id").dropDuplicates(["surface"]))
     sm_s = smap.withColumnRenamed("surface", "s_surf").withColumnRenamed(
@@ -144,41 +156,58 @@ def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
         "graph",
     )
 
-    # rdf:type support triples from relation-slot classes
+    # rdf:type support triples from relation-slot classes.
+    # Built as explode-of-array from ONE scan of resolved (a union of two
+    # scans would erase the src_url partitioning and force the dedup below
+    # back into a shuffle).
     cls_map = [(p, s, o) for p, (s, o) in PREDICATE_CLASSES.items()]
     subj_cls = F.create_map(*[x for p, s, _ in cls_map for x in (F.lit(p), F.lit(s))])
     obj_cls = F.create_map(
         *[x for p, _, o in cls_map if o is not None for x in (F.lit(p), F.lit(o))]
     )
+    node_cls_pairs = F.array(
+        F.struct(F.col("subject").alias("node"), subj_cls[F.col("predicate")].alias("cls")),
+        F.struct(
+            F.when(F.col("object_type") == "iri", F.col("object_value")).alias("node"),
+            obj_cls[F.col("predicate")].alias("cls"),
+        ),
+    )
     type_rows = (
         resolved.select(
-            F.col("subject"), subj_cls[F.col("predicate")].alias("cls"), F.col("graph")
+            F.explode(
+                F.filter(
+                    node_cls_pairs,
+                    lambda x: x["node"].isNotNull() & x["cls"].isNotNull(),
+                )
+            ).alias("nc"),
+            "graph",
         )
-        .unionByName(
-            resolved.filter(F.col("object_type") == "iri").select(
-                F.col("object_value").alias("subject"),
-                obj_cls[F.col("predicate")].alias("cls"),
-                F.col("graph"),
-            )
-        )
-        .filter(F.col("cls").isNotNull())
         .select(
-            "subject",
+            F.col("nc.node").alias("subject"),
             F.lit(RDF_TYPE).alias("predicate"),
-            F.col("cls").alias("object_value"),
+            F.col("nc.cls").alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("object_datatype"),
             F.lit(None).cast("string").alias("object_lang"),
             "graph",
         )
     )
-    # kg:name triples so minCount(name) holds for every linked entity
+    # kg:name triples so minCount(name) holds for every linked entity —
+    # same explode-not-union shape to keep the src_url partitioning
     name_rows = (
-        raw.select(F.col("subj_surface").alias("surface"), F.col("src_url").alias("graph"))
-        .unionByName(
-            raw.filter(F.col("obj_kind") == ENTITY).select(
-                F.col("obj_surface").alias("surface"), F.col("src_url").alias("graph")
-            )
+        raw.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(
+                            F.col("subj_surface"),
+                            F.when(F.col("obj_kind") == ENTITY, F.col("obj_surface")),
+                        ),
+                        lambda s: s.isNotNull(),
+                    )
+                )
+            ).alias("surface"),
+            F.col("src_url").alias("graph"),
         )
         .join(smap, "surface")
         .select(
@@ -191,11 +220,13 @@ def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
             "graph",
         )
     )
+    # per-branch dedup: partition-local when raw is src_url-partitioned;
+    # branches are predicate-disjoint so this equals a global dropDuplicates
     return (
-        resolved.unionByName(inverse_rows)
-        .unionByName(type_rows)
-        .unionByName(name_rows)
-        .dropDuplicates()
+        resolved.dropDuplicates()
+        .unionByName(inverse_rows.dropDuplicates())
+        .unionByName(type_rows.dropDuplicates())
+        .unionByName(name_rows.dropDuplicates())
     )
 
 
@@ -250,7 +281,23 @@ def run_pipeline(
         # multi-branch validation plan reads materialized inputs (on a real
         # cluster these become reliable checkpoints / intermediate tables)
         t0 = time.time()
-        raw = extract_raw_triples(batch_pages).localCheckpoint(eager=True)
+        # one narrow shuffle on src_url here buys shuffle-FREE dedup of the
+        # (much wider, 4x larger) typed-triple stream downstream: every
+        # typed_triples branch keeps this hash partitioning, and graph ∈
+        # every dedup key, so Catalyst plans those dedups partition-local.
+        # The checkpoint must execute with AQE off — AdaptiveSparkPlanExec
+        # reports UnknownPartitioning into the LogicalRDD, which would force
+        # the downstream dedups back into full-width shuffles.
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            raw = (
+                extract_raw_triples(batch_pages)
+                .repartition(F.col("src_url"))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
 
         t0 = time.time()
@@ -264,15 +311,28 @@ def run_pipeline(
         )
 
         t0 = time.time()
-        triples = typed_triples(raw, surface_map).localCheckpoint(eager=True)
+        # materialize the wide typed-triple stream through scratch parquet,
+        # NOT localCheckpoint: columnar write+reread is ~10x cheaper than
+        # caching 10^7 deserialized row objects, survives executor loss on a
+        # real cluster, and downstream scans get column pruning for free.
+        scratch = os.path.join(out_dir, "_scratch", key)
+        typed_triples(raw, surface_map).write.mode("overwrite").parquet(
+            os.path.join(scratch, "typed")
+        )
+        triples = spark.read.parquet(os.path.join(scratch, "typed"))
         stage_seconds["typed_triples"] = (
             stage_seconds.get("typed_triples", 0.0) + time.time() - t0
         )
 
         t0 = time.time()
-        violations = validate(spark, triples, shapes).localCheckpoint(eager=True)
+        validate(spark, triples, shapes).write.mode("overwrite").parquet(
+            os.path.join(scratch, "violations")
+        )
+        violations = spark.read.parquet(os.path.join(scratch, "violations"))
         stage_seconds["validate"] = stage_seconds.get("validate", 0.0) + time.time() - t0
-        bad_focus = (
+        # violating focus nodes are a tiny distinct set → broadcast the anti
+        # join so the conformant filter never shuffles the triple stream
+        bad_focus = F.broadcast(
             violations.filter(F.col("resultSeverity") == SEVERITY_VIOLATION)
             .select(F.col("focusNode").alias("subject"))
             .dropDuplicates()
@@ -282,7 +342,11 @@ def run_pipeline(
         t0 = time.time()
         n_in = triples.count()
         n_viol = violations.count()
-        merged = merge_triples(spark, table_path, conformant, n_buckets=n_buckets)
+        # typed_triples already emitted a deduplicated stream → merge skips
+        # its own dropDuplicates shuffle
+        merged = merge_triples(
+            spark, table_path, conformant, n_buckets=n_buckets, assume_unique=True
+        )
         n_valid = conformant.count()
         stage_seconds["merge"] = stage_seconds.get("merge", 0.0) + time.time() - t0
 
