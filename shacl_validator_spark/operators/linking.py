@@ -95,11 +95,47 @@ def link_lsh(
     return best
 
 
+# Below this distinct-surface count the linking problem fits on the driver:
+# a dict lookup plus exact shingle-Jaccard in Python replaces ~8 Spark jobs
+# (broadcast builds, CountVectorizer/LSH fits, similarity join).  The
+# distributed path is unchanged for web-scale surface sets.
+SMALL_SURFACE_SET = 100_000
+
+
+def _shingles(s: str, n: int = 3) -> set[str]:
+    padded = "^^" + s.lower() + "$$"
+    return {padded[i : i + n] for i in range(max(len(padded) - (n - 1), 1))}
+
+
+def _link_small(
+    rows: list, alias_rows: list, threshold: float
+) -> list[tuple[str, str, str]]:
+    """Driver-side mirror of exact-dict + Jaccard linking (same semantics:
+    distance < threshold, best candidate = min (dist, canonical_id))."""
+    adict = {a: c for a, c in alias_rows}
+    cand = [(a, c, _shingles(a)) for a, c in alias_rows]
+    out = []
+    for surface, ent_class in rows:
+        cid = adict.get(surface.lower())
+        if cid is None:
+            sh = _shingles(surface)
+            best = None
+            for alias, acid, ash in cand:
+                inter = len(sh & ash)
+                dist = 1.0 - inter / (len(sh) + len(ash) - inter)
+                if dist < threshold and (best is None or (dist, acid) < best):
+                    best = (dist, acid)
+            cid = best[1] if best else "surface:" + surface.lower()
+        out.append((surface, ent_class, cid))
+    return sorted(set(out), key=lambda t: (t[0], t[1] or "", t[2]))
+
+
 def link_mentions(
     spark: SparkSession,
     mentions: DataFrame,
     alias_dict: DataFrame,
     lsh_threshold: float = 0.6,
+    small_surface_set: int = SMALL_SURFACE_SET,
 ) -> DataFrame:
     """Full linking: exact broadcast join, LSH fallback, surface fallback.
 
@@ -108,7 +144,20 @@ def link_mentions(
     stages (typing, validation, MERGE keys) stay total and stable
     (SURVEY.md §7.3 blank-node determinism).
     Returns the broadcastable map (surface, ent_class, canonical_id).
+
+    Small distinct-surface sets short-circuit to a driver-side linker with
+    exact Jaccard (a superset of the LSH candidate blocking — LSH only
+    approximates it); pass ``small_surface_set=0`` to force the distributed
+    path.
     """
+    if small_surface_set:
+        head = mentions.select("surface", "ent_class").limit(small_surface_set + 1).collect()
+        if len(head) <= small_surface_set:
+            arows = [(r[0], r[1]) for r in alias_dict.collect()]
+            linked = _link_small([(r[0], r[1]) for r in head], arows, lsh_threshold)
+            return spark.createDataFrame(
+                linked, "surface string, ent_class string, canonical_id string"
+            )
     # eager materialization: isEmpty() on the unresolved residue is a
     # limit-1 probe and would leave a plain cache only partially filled,
     # forcing the upstream distinct to recompute for later consumers

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import (
-    CONSTRAINT_SCHEMA,
     RDF_TYPE,
     SENTINEL_EMPTY_CONTENT,
     SENTINEL_NO_SHAPES,
@@ -55,6 +54,84 @@ _NODE_KIND_SETS = {
 
 def _component(name: str) -> str:
     return SH + name + "ConstraintComponent"
+
+
+# facet columns attached to every value row / aggregate row, in order
+FACET_FIELDS = [
+    "path",
+    "min_count",
+    "max_count",
+    "datatype",
+    "node_kind",
+    "pattern",
+    "in_list",
+    "class_iri",
+    "min_inclusive",
+    "max_inclusive",
+    "severity",
+    "messages",
+    "shape_iri",
+    "foaf_page",
+]
+
+_FACET_TYPES = {
+    "min_count": "int",
+    "max_count": "int",
+    "min_inclusive": "double",
+    "max_inclusive": "double",
+    "in_list": "array<string>",
+    "messages": "array<struct<text:string,lang:string>>",
+}
+
+
+def _lit(v, field: str) -> F.Column:
+    dt = _FACET_TYPES.get(field, "string")
+    if v is None:
+        return F.lit(None).cast(dt)
+    if field == "in_list":
+        return F.array(*[F.lit(x) for x in v])
+    if field == "messages":
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(m["text"]).alias("text"),
+                    (F.lit(m["lang"]) if m["lang"] is not None else F.lit(None).cast("string")).alias("lang"),
+                )
+                for m in v
+            ]
+        )
+    return F.lit(v).cast(dt)
+
+
+def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
+    """Literal map key → array<constraint_id>."""
+    return F.create_map(
+        *[
+            x
+            for k, cids in sorted(mapping.items())
+            for x in (F.lit(k), F.array(*[F.lit(c).cast("long") for c in sorted(cids)]))
+        ]
+    )
+
+
+def _facet_map(constraint_rows: list[dict]) -> F.Column:
+    """Literal map constraint_id → struct of facet columns.
+
+    The shapes graph is driver-resident KBs, so its lookup tables are
+    embedded as constant expressions — a compile-time broadcast.  Catalyst
+    constant-folds the map access; no broadcast build, no join, no job."""
+    entries = []
+    for r in sorted(constraint_rows, key=lambda r: r["constraint_id"]):
+        entries.append(F.lit(r["constraint_id"]).cast("long"))
+        entries.append(
+            F.struct(*[_lit(r.get(f), f).alias(f) for f in FACET_FIELDS])
+        )
+    return F.create_map(*entries)
+
+
+def _attach_facets(df: DataFrame, facet_map: F.Column) -> DataFrame:
+    f = facet_map[F.col("constraint_id")]
+    return df.select(*df.columns, *[f[name].alias(name) for name in FACET_FIELDS])
 
 
 def _message_col() -> F.Column:
@@ -150,42 +227,40 @@ def validate(
     if not constraint_rows:
         return spark.createDataFrame([], VIOLATION_SCHEMA)
 
-    cons = F.broadcast(spark.createDataFrame(constraint_rows, schema=CONSTRAINT_SCHEMA))
-
     # --- targeting: sh:targetClass focus-node selection (J6) ---------------
+    # the class → constraint lookup is a literal map (compile-time
+    # broadcast): one scan of the type sub-relation, no join
+    by_class: dict[str, list[int]] = {}
+    for r in constraint_rows:
+        by_class.setdefault(r["target_class"], []).append(r["constraint_id"])
+    target_map = _cid_map(by_class)
+
     types = (
         triples.filter(F.col("predicate") == RDF_TYPE)
         .select(F.col("subject"), F.col("object_value").alias("cls"))
         .dropDuplicates()
     )
-    target_classes = cons.select("constraint_id", "target_class").dropDuplicates()
-    targets = (
-        types.join(
-            F.broadcast(target_classes),
-            types["cls"] == target_classes["target_class"],
-        )
-        .select("constraint_id", F.col("subject").alias("focusNode"))
-        .dropDuplicates()
-    )
+    targets = types.select(
+        F.explode(target_map[F.col("cls")]).alias("constraint_id"),
+        F.col("subject").alias("focusNode"),
+    ).dropDuplicates()
 
     # --- path value lookup ---------------------------------------------------
-    # Fast path: single-step paths (the overwhelming majority) — one
-    # broadcast join of the triples table on predicate, map-side only.
+    # Fast path: single-step paths (the overwhelming majority) — one scan of
+    # the triples table with a literal predicate → constraints map; rows
+    # whose predicate no constraint watches explode to nothing.
     max_steps = max(len(r["path_steps"]) for r in constraint_rows)
-    step1 = [
-        (r["constraint_id"], p)
-        for r in constraint_rows
-        if len(r["path_steps"]) == 1
-        for p in r["path_steps"][0]
-    ]
+    by_pred: dict[str, list[int]] = {}
+    for r in constraint_rows:
+        if len(r["path_steps"]) == 1:
+            for p in r["path_steps"][0]:
+                by_pred.setdefault(p, []).append(r["constraint_id"])
     vals_parts: list[DataFrame] = []
-    if step1:
-        s1 = F.broadcast(
-            spark.createDataFrame(step1, schema="constraint_id long, step_pred string")
-        )
+    if by_pred:
+        pred_map = _cid_map(by_pred)
         vals_parts.append(
-            triples.join(s1, triples["predicate"] == s1["step_pred"]).select(
-                "constraint_id",
+            triples.select(
+                F.explode(pred_map[F.col("predicate")]).alias("constraint_id"),
                 F.col("subject").alias("focusNode"),
                 "object_value",
                 "object_type",
@@ -205,17 +280,14 @@ def validate(
             "constraint_id", "focusNode", F.col("focusNode").alias("node")
         )
         for step_idx in range(n_steps):
-            steps_rows = [
-                (r["constraint_id"], p)
-                for r in constraint_rows
-                if len(r["path_steps"]) == n_steps
-                for p in r["path_steps"][step_idx]
-            ]
-            sdf = F.broadcast(
-                spark.createDataFrame(steps_rows, schema="cid long, step_pred string")
-            )
-            hop = triples.join(sdf, triples["predicate"] == sdf["step_pred"]).select(
-                F.col("cid"),
+            step_by_pred: dict[str, list[int]] = {}
+            for r in constraint_rows:
+                if len(r["path_steps"]) == n_steps:
+                    for p in r["path_steps"][step_idx]:
+                        step_by_pred.setdefault(p, []).append(r["constraint_id"])
+            smap = _cid_map(step_by_pred)
+            hop = triples.select(
+                F.explode(smap[F.col("predicate")]).alias("cid"),
                 F.col("subject").alias("hop_subject"),
                 F.col("object_value").alias("hop_value"),
                 F.col("object_type").alias("hop_type"),
@@ -223,7 +295,7 @@ def validate(
                 F.col("object_lang").alias("hop_lang"),
             )
             frontier = (
-                frontier.join(
+                F.broadcast(frontier).join(
                     hop,
                     (frontier["constraint_id"] == hop["cid"])
                     & (frontier["node"] == hop["hop_subject"]),
@@ -259,83 +331,47 @@ def validate(
             "object_type string, object_datatype string, object_lang string",
         )
 
-    facet_cols = [
-        "path",
-        "min_count",
-        "max_count",
-        "datatype",
-        "node_kind",
-        "pattern",
-        "in_list",
-        "class_iri",
-        "min_inclusive",
-        "max_inclusive",
-        "severity",
-        "messages",
-        "shape_iri",
-        "foaf_page",
-    ]
-    facets = F.broadcast(cons.select("constraint_id", *facet_cols))
+    facet_map = _facet_map(constraint_rows)
 
-    # materialize targets once — it is consumed by three joins below and is
-    # small (distinct typed focus nodes collapse massively after
-    # canonicalization), so a localCheckpoint is cheap and lets Spark
-    # broadcast it.  ``vals`` is deliberately NOT materialized: its three
-    # consumers are each one broadcast-join scan of the (ideally
-    # parquet-backed) triples table — rescanning columnar input beats paying
-    # the row-object cache-build cost of a 10^7-row localCheckpoint, and at
-    # cluster scale it would not fit executor storage anyway.
+    # materialize targets once — consumed twice below and tiny (distinct
+    # typed focus nodes collapse massively after canonicalization)
     targets = targets.localCheckpoint(eager=True)
 
-    out: list[DataFrame] = []
-
-    # --- cardinality rules (A9) -------------------------------------------
-    # two-phase: per-(constraint, focus) counts partial-aggregate map-side
-    # BEFORE touching targets (hub focus nodes never blow up a join, and the
-    # shuffle after the map-side combine is only as big as the group count),
-    # then a targets-side LEFT join so zero-value focus nodes are seen
-    # (the classic join-SHACL minCount bug, SURVEY.md §7.3)
-    val_counts = vals.groupBy("constraint_id", "focusNode").agg(
-        F.count("object_value").alias("_n")
-    )
-    counts = (
-        targets.join(val_counts, ["constraint_id", "focusNode"], "left")
-        .withColumn("n_values", F.coalesce(F.col("_n"), F.lit(0)))
-        .join(facets, "constraint_id")
-        .filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
-    )
-    out.append(
-        _as_violations(
-            counts.filter(
-                F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count"))
-            ).withColumn("object_value", F.lit(None).cast("string")),
-            _component("MinCount"),
-            F.lit(None),
-        )
-    )
-    out.append(
-        _as_violations(
-            counts.filter(
-                F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count"))
-            ).withColumn("object_value", F.lit(None).cast("string")),
-            _component("MaxCount"),
-            F.lit(None),
-        )
+    # =======================================================================
+    # Single-scan rule evaluation.  The value stream (every value occurrence
+    # × constraint) is the only big relation; everything it needs — targets,
+    # facets, the distinct (node, class) type set — is broadcast onto it,
+    # every per-row component contributes one nullable slot to a hit array,
+    # and a two-level cascaded aggregation on (constraint, focus[, value])
+    # produces BOTH the distinct-value counts for the cardinality rules AND
+    # the deduplicated per-value hits.  Net plan: ONE pass over the stream +
+    # one small shuffle whose map-side combine collapses per-graph
+    # duplicates — this is what keeps validation scan-bound at 100 TB.
+    # countDistinct-style semantics throughout: SHACL evaluates over the RDF
+    # graph — a SET of (s,p,o) — so a value asserted by many source pages is
+    # ONE value node; row-counting would false-positive every maxCount on
+    # hub entities, and per-row results would duplicate per page.
+    # =======================================================================
+    values = _attach_facets(
+        vals.join(F.broadcast(targets), ["constraint_id", "focusNode"], "left_semi"),
+        facet_map,
     )
 
-    # value rules: semi-join restriction to targeted focus nodes (targets is
-    # broadcast — no shuffle of the value stream), then broadcast facets
-    values = vals.join(
-        F.broadcast(targets), ["constraint_id", "focusNode"], "left_semi"
-    ).join(facets, "constraint_id")
+    # sh:class needs a type lookup per IRI value: broadcast the distinct
+    # (node, class) set (J6 as a broadcast left join — at 10^12 triples the
+    # canonical entity set is still orders of magnitude smaller than the
+    # stream; if it ever outgrows broadcast range this becomes a bucketed
+    # join on object_value)
+    typed_set = F.broadcast(
+        types.select(F.col("subject").alias("t_node"), F.col("cls").alias("t_cls"))
+    )
+    values = values.join(
+        typed_set,
+        (values["object_value"] == typed_set["t_node"])
+        & (values["class_iri"] == typed_set["t_cls"]),
+        "left",
+    )
 
-    # --- all per-row value rules in ONE scan ---------------------------------
-    # The value stream is the big side (every (value occurrence × constraint)
-    # pair).  Evaluating each component as its own filter branch would rescan
-    # it once per component; instead every per-row check contributes one
-    # nullable slot to an array, and a single filter+explode emits the
-    # violation hits — one whole-stage-codegen pass over the stream, which is
-    # what keeps validation scan-bound (not rescan-bound) at 100 TB.
     num = F.col("object_value").cast("double")
 
     def _hit(cond: F.Column, comp: str) -> F.Column:
@@ -388,48 +424,99 @@ def validate(
             & (num.isNull() | (num > F.col("max_inclusive"))),
             "MaxInclusive",
         ),
-        # sh:class on a literal value is always a violation (J6 fast half;
-        # the IRI half needs the type anti-join below)
+        # sh:class: a literal value can never satisfy it; an IRI/bnode value
+        # satisfies it iff the broadcast type lookup matched (t_node present)
         _hit(
-            F.col("class_iri").isNotNull() & (F.col("object_type") == "literal"),
+            F.col("class_iri").isNotNull()
+            & (
+                (F.col("object_type") == "literal")
+                | (
+                    F.col("object_type").isin("iri", "bnode")
+                    & F.col("t_node").isNull()
+                )
+            ),
             "Class",
         ),
     )
-    hits = values.select(
-        *values.columns,
-        F.explode(F.filter(checks, lambda c: c.isNotNull())).alias("_comp"),
+    hit_structs = F.transform(
+        F.filter(checks, lambda c: c.isNotNull()),
+        lambda c: F.struct(c.alias("comp"), F.col("object_value").alias("v")),
+    )
+
+    # cascade level 1: per distinct value (graph-duplicate collapse happens
+    # map-side here); hits are a deterministic function of the group key
+    per_value = (
+        values.select(
+            "constraint_id",
+            "focusNode",
+            "object_value",
+            "object_type",
+            "object_datatype",
+            "object_lang",
+            hit_structs.alias("_hs"),
+        )
+        .groupBy(
+            "constraint_id",
+            "focusNode",
+            "object_value",
+            "object_type",
+            "object_datatype",
+            "object_lang",
+        )
+        .agg(F.first("_hs").alias("_hs"))
+    )
+    # cascade level 2: per focus node — distinct-value count + merged hits
+    per_focus = per_value.groupBy("constraint_id", "focusNode").agg(
+        F.countDistinct("object_value").alias("_n"),
+        F.array_distinct(F.flatten(F.collect_list("_hs"))).alias("_hs"),
+    )
+
+    # targets-side LEFT join so zero-value focus nodes are seen (the classic
+    # join-SHACL minCount bug, SURVEY.md §7.3); both sides are tiny here
+    agg = _attach_facets(
+        targets.join(per_focus, ["constraint_id", "focusNode"], "left").withColumn(
+            "n_values", F.coalesce(F.col("_n"), F.lit(0))
+        ),
+        facet_map,
+    )
+
+    out: list[DataFrame] = []
+    out.append(
+        _as_violations(
+            agg.filter(
+                F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count"))
+            ).withColumn("object_value", F.lit(None).cast("string")),
+            _component("MinCount"),
+            F.lit(None),
+        )
     )
     out.append(
         _as_violations(
-            hits,
-            F.concat(F.lit(SH), F.col("_comp"), F.lit("ConstraintComponent")),
-            F.col("object_value"),
+            agg.filter(
+                F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count"))
+            ).withColumn("object_value", F.lit(None).cast("string")),
+            _component("MaxCount"),
+            F.lit(None),
         )
     )
-
-    # --- sh:class (IRI values): anti join value nodes vs type triples (J6) ---
-    # ``types`` is distinct (subject, cls) — at KG scale the canonical entity
-    # set is orders of magnitude smaller than the triple stream; an anti join
-    # is insensitive to duplicate build rows, and AQE turns it into a
-    # broadcast anti join when the type relation is small.
-    cls_vals = values.filter(F.col("class_iri").isNotNull()).filter(
-        F.col("object_type").isin("iri", "bnode")
+    hits = agg.select(
+        *agg.columns, F.explode("_hs").alias("_hit")
+    ).withColumn("object_value", F.col("_hit.v"))
+    out.append(
+        _as_violations(
+            hits,
+            F.concat(F.lit(SH), F.col("_hit.comp"), F.lit("ConstraintComponent")),
+            F.col("_hit.v"),
+        )
     )
-    typed = types.select(
-        F.col("subject").alias("val_node"), F.col("cls").alias("val_cls")
-    )
-    cls_bad = cls_vals.join(
-        typed,
-        (cls_vals["object_value"] == typed["val_node"])
-        & (cls_vals["class_iri"] == typed["val_cls"]),
-        "left_anti",
-    )
-    out.append(_as_violations(cls_bad, _component("Class"), F.col("object_value")))
 
     result = out[0]
     for part in out[1:]:
         result = result.unionByName(part)
-    return result.select(*VIOLATION_COLUMNS)
+    # set semantics on results: one sh:ValidationResult per
+    # (focus, path, value, component), matching the reference engine's
+    # result identity; the input to this dedup is already tiny.
+    return result.select(*VIOLATION_COLUMNS).dropDuplicates()
 
 
 def _sentinel(spark: SparkSession, component: str, text: str) -> DataFrame:

@@ -36,7 +36,6 @@ from ..shapes import compile_shapes, profile_shapes_ttl
 from ..sources.extract import (
     ENTITY,
     KG,
-    PREDICATE_CLASSES,
     XSD_INTEGER,
     extract_raw_triples,
     mentions_from_raw,
@@ -57,14 +56,46 @@ class PipelineResult:
 
 
 def canonicalize(
-    spark: SparkSession, linked: DataFrame, max_iter: int = 6
+    spark: SparkSession, linked: DataFrame, max_iter: int = 6,
+    small_map: int = 100_000,
 ) -> DataFrame:
     """Merge surfaces that share a canonical id (or are chained by LSH)
     into components; canonical id := min member id.
 
     Edges: surface ↔ linked canonical id.  Returns the final broadcastable
     (surface, canonical_id, ent_class) map.
+
+    When the linked surface map is small (it is the distinct-surface set,
+    already collapsed by linking) the whole computation runs driver-side —
+    union-find plus a dict join — instead of ~10 tiny Spark jobs; pass
+    ``small_map=0`` to force the distributed path.
     """
+    if small_map:
+        head = linked.limit(small_map + 1).collect()
+        if len(head) <= small_map:
+            from ..operators.components import _driver_union_find
+
+            pairs = [("s|" + r.surface, "c|" + r.canonical_id) for r in head]
+            comp = dict(_driver_union_find(pairs))
+            # every surface has an edge to a c| node and 'c|' < 's|', so the
+            # min-label component is always c|-prefixed (same argument as the
+            # distributed path's coalesce fallback)
+            rows = sorted(
+                {
+                    (
+                        r.surface,
+                        r.ent_class,
+                        comp["s|" + r.surface][2:]
+                        if ("s|" + r.surface) in comp
+                        else "surface:" + r.surface.lower(),
+                    )
+                    for r in head
+                },
+                key=lambda t: (t[0], t[1] or "", t[2]),
+            )
+            return spark.createDataFrame(
+                rows, "surface string, ent_class string, canonical_id string"
+            )
     edges = linked.select(
         F.concat(F.lit("s|"), F.col("surface")).alias("src"),
         F.concat(F.lit("c|"), F.col("canonical_id")).alias("dst"),
@@ -95,20 +126,15 @@ def canonicalize(
 def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
     """Surface triples + broadcast surface→canonical map → TRIPLE_SCHEMA rows.
 
-    Emits relation triples plus the rdf:type support triples implied by
-    relation slots (needed by sh:class checks, SURVEY.md §2.8).
+    Emits the relation triples plus the inverse (publishedBy) edges; the
+    entity-level support triples live in ``entity_triples``.
 
-    Scale design — dedup without a wide shuffle: a triple's duplicates can
-    only come from the same source page, because ``graph`` (the source url)
-    is part of the RDF-set identity (SURVEY.md §2.6 U4).  When ``raw`` is
-    hash-partitioned by ``src_url`` (the pipeline repartitions once at the
-    extract boundary, 5 narrow columns), every branch below preserves that
-    partitioning through broadcast joins and projections, and since the
-    partitioning key is a subset of each branch's dedup key set Catalyst
-    plans the per-branch ``dropDuplicates`` as a partition-local hash
-    aggregate — **no exchange**.  Branches are predicate-disjoint, so the
-    union of per-branch dedups equals a global dedup at a fraction of the
-    shuffle cost (the big win at 10^12 rows).
+    Scale design — no dedup here at all: a triple's RDF-set identity
+    includes ``graph`` (the source url, SURVEY.md §2.6 U4), so duplicates
+    can only arise within one page, and the extraction UDF already drops
+    them per Arrow batch at C speed.  The whole function is therefore
+    broadcast joins + projections — zero shuffles, zero aggregates over the
+    big stream, which is what survives 10^12 rows.
     """
     smap = F.broadcast(surface_map.select("surface", "canonical_id").dropDuplicates(["surface"]))
     sm_s = smap.withColumnRenamed("surface", "s_surf").withColumnRenamed(
@@ -156,78 +182,53 @@ def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
         "graph",
     )
 
-    # rdf:type support triples from relation-slot classes.
-    # Built as explode-of-array from ONE scan of resolved (a union of two
-    # scans would erase the src_url partitioning and force the dedup below
-    # back into a shuffle).
-    cls_map = [(p, s, o) for p, (s, o) in PREDICATE_CLASSES.items()]
-    subj_cls = F.create_map(*[x for p, s, _ in cls_map for x in (F.lit(p), F.lit(s))])
-    obj_cls = F.create_map(
-        *[x for p, _, o in cls_map if o is not None for x in (F.lit(p), F.lit(o))]
-    )
-    node_cls_pairs = F.array(
-        F.struct(F.col("subject").alias("node"), subj_cls[F.col("predicate")].alias("cls")),
-        F.struct(
-            F.when(F.col("object_type") == "iri", F.col("object_value")).alias("node"),
-            obj_cls[F.col("predicate")].alias("cls"),
-        ),
-    )
-    type_rows = (
-        resolved.select(
-            F.explode(
-                F.filter(
-                    node_cls_pairs,
-                    lambda x: x["node"].isNotNull() & x["cls"].isNotNull(),
-                )
-            ).alias("nc"),
-            "graph",
-        )
+    return resolved.unionByName(inverse_rows)
+
+
+ENTITY_GRAPH = "urn:kg:entities"
+
+
+def entity_triples(surface_map: DataFrame) -> DataFrame:
+    """Entity-level support triples: rdf:type from the linked entity class
+    and kg:name per surface form, emitted ONCE per canonical entity.
+
+    Scale rationale: these facts are properties of the entity, not of any
+    one page.  Emitting them per (entity, page) — the naive rebuild of the
+    reference's per-document quads — multiplies the triple stream ~3x only
+    for the MERGE anti-join to discard the copies; at 10^12 pages the hub
+    entities alone would contribute billions of redundant rows per batch.
+    The entity table (distinct surfaces) is tiny after canonicalization, so
+    this branch costs nothing and keeps minCount(name)/sh:class targeting
+    semantics identical (the validator works on the set-union graph either
+    way).  ``graph = urn:kg:entities`` keeps the MERGE key total and makes
+    replays idempotent.
+    """
+    cls_rows = (
+        surface_map.filter(F.col("ent_class").isNotNull())
         .select(
-            F.col("nc.node").alias("subject"),
+            F.col("canonical_id").alias("subject"),
             F.lit(RDF_TYPE).alias("predicate"),
-            F.col("nc.cls").alias("object_value"),
+            F.col("ent_class").alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("object_datatype"),
             F.lit(None).cast("string").alias("object_lang"),
-            "graph",
+            F.lit(ENTITY_GRAPH).alias("graph"),
         )
+        .dropDuplicates(["subject", "object_value"])
     )
-    # kg:name triples so minCount(name) holds for every linked entity —
-    # same explode-not-union shape to keep the src_url partitioning
     name_rows = (
-        raw.select(
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.array(
-                            F.col("subj_surface"),
-                            F.when(F.col("obj_kind") == ENTITY, F.col("obj_surface")),
-                        ),
-                        lambda s: s.isNotNull(),
-                    )
-                )
-            ).alias("surface"),
-            F.col("src_url").alias("graph"),
-        )
-        .join(smap, "surface")
-        .select(
+        surface_map.select(
             F.col("canonical_id").alias("subject"),
             F.lit(KG + "name").alias("predicate"),
             F.col("surface").alias("object_value"),
             F.lit("literal").alias("object_type"),
             F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
             F.lit(None).cast("string").alias("object_lang"),
-            "graph",
+            F.lit(ENTITY_GRAPH).alias("graph"),
         )
+        .dropDuplicates(["subject", "object_value"])
     )
-    # per-branch dedup: partition-local when raw is src_url-partitioned;
-    # branches are predicate-disjoint so this equals a global dropDuplicates
-    return (
-        resolved.dropDuplicates()
-        .unionByName(inverse_rows.dropDuplicates())
-        .unionByName(type_rows.dropDuplicates())
-        .unionByName(name_rows.dropDuplicates())
-    )
+    return cls_rows.unionByName(name_rows)
 
 
 def run_pipeline(
@@ -281,23 +282,18 @@ def run_pipeline(
         # multi-branch validation plan reads materialized inputs (on a real
         # cluster these become reliable checkpoints / intermediate tables)
         t0 = time.time()
-        # one narrow shuffle on src_url here buys shuffle-FREE dedup of the
-        # (much wider, 4x larger) typed-triple stream downstream: every
-        # typed_triples branch keeps this hash partitioning, and graph ∈
-        # every dedup key, so Catalyst plans those dedups partition-local.
-        # The checkpoint must execute with AQE off — AdaptiveSparkPlanExec
-        # reports UnknownPartitioning into the LogicalRDD, which would force
-        # the downstream dedups back into full-width shuffles.
-        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            raw = (
-                extract_raw_triples(batch_pages)
-                .repartition(F.col("src_url"))
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        # the raw stream arrives per-page-deduplicated from the extraction
+        # UDF (graph ∈ triple identity ⇒ globally unique), so no shuffle is
+        # needed.  Materialize through scratch parquet, not localCheckpoint:
+        # the columnar write of the narrow stream is cheap and constant,
+        # while caching millions of deserialized row objects in executor
+        # memory is the single worst-scaling operation measured on this
+        # pipeline (and would not survive executor loss on a real cluster).
+        scratch = os.path.join(out_dir, "_scratch", key)
+        extract_raw_triples(batch_pages).write.mode("overwrite").parquet(
+            os.path.join(scratch, "raw")
+        )
+        raw = spark.read.parquet(os.path.join(scratch, "raw"))
         stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
 
         t0 = time.time()
@@ -311,12 +307,19 @@ def run_pipeline(
         )
 
         t0 = time.time()
-        # materialize the wide typed-triple stream through scratch parquet,
-        # NOT localCheckpoint: columnar write+reread is ~10x cheaper than
-        # caching 10^7 deserialized row objects, survives executor loss on a
-        # real cluster, and downstream scans get column pruning for free.
-        scratch = os.path.join(out_dir, "_scratch", key)
-        typed_triples(raw, surface_map).write.mode("overwrite").parquet(
+        # materialize the typed stream through scratch parquet: validation
+        # scans it four times with column pruning, which beats recomputing
+        # the joins per scan and beats localCheckpoint's row-object cache
+        # cost by ~10x.  The stream itself is produced shuffle-free (the
+        # extraction UDF already deduplicated per page).
+        # the typed stream is ~3-5 rows/page — orders of magnitude lighter
+        # than the page text the extract stage chewed through — so its
+        # stages get proportionally fewer partitions (oversized task counts
+        # on small stages just buy scheduler + shuffle-file overhead)
+        tail_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+        typed_triples(raw, surface_map).unionByName(
+            entity_triples(surface_map)
+        ).coalesce(tail_parts).write.mode("overwrite").parquet(
             os.path.join(scratch, "typed")
         )
         triples = spark.read.parquet(os.path.join(scratch, "typed"))

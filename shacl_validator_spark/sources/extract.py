@@ -108,7 +108,12 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 "obj_kind": pd.Series(dtype="object"),
             }
         )
-    return pd.concat(outs, ignore_index=True)
+    # per-page dedup at the source: a triple's RDF-set identity includes its
+    # source url, so duplicates can ONLY arise within one page — dropping
+    # them here (C-level, embarrassingly parallel) guarantees the whole raw
+    # stream is globally unique and no downstream JVM stage ever needs a
+    # dedup shuffle or hash aggregate (SURVEY.md §2.6 U4 set semantics).
+    return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
 
 
 def extract_raw_triples(pages: DataFrame) -> DataFrame:

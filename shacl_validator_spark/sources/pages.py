@@ -55,6 +55,59 @@ DATASET_TITLES = [
 
 LANGS = ["es", "en", "de"]
 
+# Deterministic boilerplate corpus: real Common-Crawl pages are KBs of prose
+# around a handful of extractable facts, so the synthetic pages embed the
+# mention sentences inside hash-picked filler.  None of these sentences may
+# contain a relation trigger phrase (" is located in ", " publishes ",
+# " was founded in ") — the extractor's precision tests depend on filler
+# never producing a match (FIXTURES.md §6 P/R oracle).
+FILLER_SENTENCES = [
+    "the quarterly report notes steady growth across regional offices.",
+    "a spokesperson declined to comment on the pending review.",
+    "analysts expect the committee to release updated guidance soon.",
+    "the archive holds records dating back several decades.",
+    "visitors can browse the collection during regular opening hours.",
+    "the proposal drew mixed reactions from community members.",
+    "several amendments were tabled during the afternoon session.",
+    "the catalog entry lists provenance and licensing details.",
+    "maintenance work is scheduled for the coming weekend.",
+    "the survey covered respondents across twelve districts.",
+    "preliminary figures suggest a modest rise in participation.",
+    "the panel reviewed submissions over a two week period.",
+    "updated terms of service take effect at the end of the month.",
+    "the workshop attracted practitioners from many disciplines.",
+    "registration closes once capacity has been reached.",
+    "the annex describes the sampling methodology in detail.",
+    "a revised edition of the handbook appears every spring.",
+    "the committee thanked volunteers for their contributions.",
+    "minutes of the previous meeting were approved without changes.",
+    "the dataset card documents known limitations and caveats.",
+    "a moderated forum hosts discussion of open questions.",
+    "the roadmap highlights milestones for the next two quarters.",
+    "weather conditions delayed the scheduled field measurements.",
+    "the editorial board meets on the first tuesday of each month.",
+    "translations are provided on a best effort basis.",
+    "the glossary clarifies terminology used throughout the report.",
+    "an errata page tracks corrections to earlier printings.",
+    "the budget allocates additional funds for outreach programs.",
+    "attendance figures exceeded expectations for a third year.",
+    "the audit found no material discrepancies in the accounts.",
+    "responses were anonymized before any analysis took place.",
+    "the appendix reproduces the questionnaire in full.",
+]
+
+
+def filler_text(pid: Column, n_sentences: int, salt: str = "fill") -> Column:
+    """Deterministic hash-picked boilerplate (~60B/sentence) for a page id."""
+    parts = [
+        _pick(
+            F.pmod(F.xxhash64(pid, F.lit(f"{salt}{i}")), len(FILLER_SENTENCES)),
+            FILLER_SENTENCES,
+        )
+        for i in range(n_sentences)
+    ]
+    return F.concat_ws(" ", *parts)
+
 N_SITES = 64  # Zipf-skewed: site 0 is the hub domain
 
 HTML_PREFIX = (
@@ -106,17 +159,49 @@ def wrap_html(text: Column) -> Column:
     return F.encode(F.concat(F.lit(HTML_PREFIX), text, F.lit(HTML_SUFFIX)), "UTF-8")
 
 
-def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def _has_facts(pid: Column, fact_density: float) -> Column:
+    """Deterministic page-level selector: does this page carry relation
+    sentences?  Real webtext is fact-sparse for any closed relation schema —
+    most pages contribute text volume but no extractable triples."""
+    return F.pmod(F.xxhash64(pid, F.lit("hasfacts")), 1000) < int(fact_density * 1000)
+
+
+def synthesize_pages(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    filler_sentences: int = 24,
+    fact_density: float = 1.0,
+) -> DataFrame:
     """Generate n pages distributed; schema == PAGES_SCHEMA.
 
     ``html`` embeds ``text`` in a fixed template; the extraction UDF must
     recover ``text`` byte-identically (BASELINE.json per-row invariant).
+
+    ``filler_sentences`` controls page realism: the default yields ~1.5 KB
+    of boilerplate around the mention sentences, which puts the
+    extraction/page-size ratio in Common-Crawl territory — the benchmark
+    then measures a compute-dominated extraction like the real workload,
+    not a degenerate triples-denser-than-text corpus.  Set 0 for the
+    minimal corpus used by small fixtures.
     """
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     pid = F.col("id")
     # Zipf-ish site skew: cubic collapse onto low site ids → site 0 is a hub
     site = (F.pow(F.pmod(pid, N_SITES) / N_SITES, 3.0) * N_SITES).cast("long")
-    text = mention_text(pid)
+    mentions = F.when(_has_facts(pid, fact_density), mention_text(pid)).otherwise(
+        F.lit("")
+    )
+    if filler_sentences > 0:
+        head = max(filler_sentences // 3, 1)
+        text = F.concat_ws(
+            " ",
+            filler_text(pid, head, salt="fa"),
+            mentions,
+            filler_text(pid, filler_sentences - head, salt="fb"),
+        )
+    else:
+        text = mentions
     return df.select(
         F.format_string("https://site%d.example.org/page/%d", site, pid).alias("url"),
         (
@@ -129,7 +214,12 @@ def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None)
     )
 
 
-def expected_triples(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def expected_triples(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    fact_density: float = 1.0,
+) -> DataFrame:
     """The P/R oracle: canonical (subject, predicate, object_value) relation
     rows the pipeline must emit for page ids 0..n-1 (FIXTURES.md §6).
 
@@ -140,6 +230,7 @@ def expected_triples(spark: SparkSession, n: int, partitions: int | None = None)
     """
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     pid = F.col("id")
+    df = df.filter(_has_facts(pid, fact_density))
     org_id = _pick(F.pmod(F.xxhash64(pid, F.lit("org")), len(ORGS)), [c for c, _ in ORGS])
     place_id = _pick(
         F.pmod(F.xxhash64(pid, F.lit("place")), len(PLACES)), [c for c, _ in PLACES]

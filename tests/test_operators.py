@@ -125,3 +125,49 @@ def test_multimodal_features(spark):
 
     frames = sample_frames(media, every_ms=1000).collect()
     assert [f.ts_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_connected_components_small_path_matches_distributed(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("c", "g")],
+        "src string, dst string",
+    )
+    small = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert small == dist
+
+
+def test_link_mentions_small_path_matches_distributed(spark):
+    from shacl_validator_spark.operators.linking import alias_dict_df, link_mentions
+    from shacl_validator_spark.sources.pages import alias_rows
+
+    mentions = spark.createDataFrame(
+        [
+            ("Acme Corp", "http://example.org/kg#Organization"),
+            ("Acme Corpp", "http://example.org/kg#Organization"),
+            ("Madrid", "http://example.org/kg#Place"),
+            ("Zzyzx Quux Entity", "http://example.org/kg#Organization"),
+        ],
+        "surface string, ent_class string",
+    )
+    adict = alias_dict_df(spark, alias_rows())
+    small = {
+        (r.surface, r.ent_class): r.canonical_id
+        for r in link_mentions(spark, mentions, adict).collect()
+    }
+    dist = {
+        (r.surface, r.ent_class): r.canonical_id
+        for r in link_mentions(spark, mentions, adict, small_surface_set=0).collect()
+    }
+    # exact-Jaccard small path must agree with the LSH path on resolved
+    # surfaces; LSH may only MISS candidates (approximate blocking)
+    for k, cid in dist.items():
+        if not cid.startswith("surface:"):
+            assert small[k] == cid
+    assert small[("Acme Corp", "http://example.org/kg#Organization")] == "org:acme"
+    assert small[("Zzyzx Quux Entity", "http://example.org/kg#Organization")].startswith("surface:")

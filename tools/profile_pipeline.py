@@ -30,8 +30,12 @@ def main() -> None:
     spark.range(0, 1000000, 1, cpus).selectExpr("sum(id)").collect()
 
     out_dir = tempfile.mkdtemp(prefix="prof_kg_")
+    pages_dir = os.path.join(out_dir, "pages")
     try:
-        pages = synthesize_pages(spark, n_pages)
+        # input is a parquet table, as in production — corpus generation is
+        # not part of the measured pipeline
+        synthesize_pages(spark, n_pages).write.mode("overwrite").parquet(pages_dir)
+        pages = spark.read.parquet(pages_dir)
         t0 = time.time()
         res = run_pipeline(spark, pages, out_dir, n_groups=1, resume=False)
         wall = time.time() - t0
