@@ -177,6 +177,22 @@ def q_shacl_class(spark, sf_dir):
     return _violations_of(spark, sf_dir, "Class")
 
 
+def q_shacl_max_count(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "MaxCount")
+
+
+def q_shacl_datatype(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Datatype")
+
+
+def q_shacl_node_kind(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "NodeKind")
+
+
+def q_shacl_max_inclusive(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "MaxInclusive")
+
+
 def q_shacl_report_summary(spark, sf_dir):
     v = validate(spark, customer_triples(spark, sf_dir), customer_constraints())
     return v.groupBy(
@@ -293,6 +309,56 @@ def q_minhash_dup_pairs(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def _docs_neardup(spark, sf_dir):
+    """documents ∪ truncated copies — deterministic near-duplicate corpus."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    trunc = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text)-120, 60))").alias("text"),
+    )
+    return d.unionByName(trunc)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from shacl_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_neardup(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from shacl_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return cosine_near_dup_pairs(doubled, threshold=0.9, exact=True)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from shacl_validator_spark.sources.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("n_dims")
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    from shacl_validator_spark.sources.multimodal import sample_frames, synthesize_media
+
+    return sample_frames(synthesize_media(spark, sf_dir)).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.groupBy("lang").agg(
@@ -351,7 +417,7 @@ def q_discovery_datasets(spark, sf_dir):
 
 def q_discovery_search(spark, sf_dir):
     ds = extract_datasets(nation_dcat_triples(spark, sf_dir))
-    return search_datasets(ds, "an", limit=50).select("id", "title")
+    return search_datasets(ds, "n_1", limit=50).select("id", "title")
 
 
 def q_discovery_distributions(spark, sf_dir):
@@ -483,6 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_in": q_shacl_in,
         "shacl_min_inclusive": q_shacl_min_inclusive,
         "shacl_class": q_shacl_class,
+        "shacl_max_count": q_shacl_max_count,
+        "shacl_datatype": q_shacl_datatype,
+        "shacl_node_kind": q_shacl_node_kind,
+        "shacl_max_inclusive": q_shacl_max_inclusive,
         "shacl_report_summary": q_shacl_report_summary,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -494,6 +564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_pivot": q_hourly_event_pivot,
         "dedup_exact": q_dedup_exact,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
         "language_id": q_language_id,
@@ -645,6 +719,46 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_nationkey >= 15
     """
 
+    sql["shacl_max_count"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:alias' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MaxCountConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 5 = 0 AND lower(c_name) <> c_name
+    """
+
+    sql["shacl_datatype"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:regdate' AS resultPath,
+               'not-a-date' AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#DatatypeConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 3 = 0
+    """
+
+    sql["shacl_node_kind"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:homepage' AS resultPath,
+               'https://cust.example/' || CAST(c_custkey AS VARCHAR) AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#NodeKindConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 7 = 0
+    """
+
+    sql["shacl_max_inclusive"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:acctbal' AS resultPath,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MaxInclusiveConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_acctbal > 9000
+    """
+
     sql["shacl_report_summary"] = """
         WITH v AS (
           SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS component,
@@ -661,6 +775,18 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#ClassConstraintComponent', 'Violation'
           FROM customer WHERE c_nationkey >= 15
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MaxCountConstraintComponent', 'Violation'
+          FROM customer WHERE c_custkey % 5 = 0 AND lower(c_name) <> c_name
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#DatatypeConstraintComponent', 'Violation'
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#NodeKindConstraintComponent', 'Warning'
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MaxInclusiveConstraintComponent', 'Info'
+          FROM customer WHERE c_acctbal > 9000
         )
         SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
     """
@@ -746,6 +872,61 @@ def oracle_sql() -> dict[str, str]:
          AND a.doc_id < b.doc_id
     """
 
+    sql["ngram_jaccard"] = f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, greatest(length(text)-120, 60))
+          FROM documents WHERE doc_id < 200
+        ),
+        norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM docs),
+        toks AS (SELECT doc_id, regexp_extract_all(t, {_TOKEN_RE_SQL}) AS tk FROM norm),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                          for i in generate_series(1, len(tk)-2)])
+                      ELSE [array_to_string(tk, ' ')] END AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """
+
+    sql["embedding_near_dup"] = """
+        WITH e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+    """
+
+    sql["multimodal_features"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               16 AS n_dims
+        FROM documents
+    """
+
+    sql["frame_sample"] = """
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 AS BIGINT) AS ts_ms
+        FROM documents, (SELECT UNNEST(generate_series(0, 9)) AS i)
+        WHERE doc_id % 3 = 2 AND i <= doc_id % 10
+    """
+
     sql["token_stats"] = f"""
         SELECT lang, COUNT(*) AS n_docs,
                SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL}))) AS tokens,
@@ -823,8 +1004,8 @@ def oracle_sql() -> dict[str, str]:
                  [n_name, 'key' || CAST(n_regionkey AS VARCHAR)] AS kw
           FROM nation
         )
-        WHERE strpos(lower(title), 'an') > 0
-           OR len(list_filter(kw, k -> strpos(lower(k), 'an') > 0)) > 0
+        WHERE strpos(lower(title), 'n_1') > 0
+           OR len(list_filter(kw, k -> strpos(lower(k), 'n_1') > 0)) > 0
         ORDER BY id LIMIT 50
     """
 
@@ -961,7 +1142,8 @@ def oracle_sql() -> dict[str, str]:
     sql["salted_degree"] = """
         WITH t AS (
           SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subject,
-                 6 - CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END AS n
+                 8 + CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+                   + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS n
           FROM customer
         )
         SELECT subject, CAST(n AS BIGINT) AS n FROM t ORDER BY n DESC, subject LIMIT 10

@@ -110,7 +110,7 @@ def extract_distributions(triples: DataFrame) -> DataFrame:
         "downloadURL",
         "format",
         "mediaType",
-        F.col("byteSize").cast("long").alias("byteSize"),
+        F.col("byteSize").try_cast("long").alias("byteSize"),
     )
 
 

@@ -77,6 +77,47 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+
+    Default path blocks candidates by random-hyperplane signature (only
+    same-bucket pairs are scored — the 10^12-row scale path; high-cosine
+    pairs collide with probability (1 - θ/π)^planes).  ``exact=True``
+    scores all pairs (O(n²), small corpora / oracle checks only).
+    """
+    v = vectors.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+    if not exact:
+        v = v.withColumn("sig", _hyperplane_sig(F.col("_v"), n_planes, dim))
+        join_cond = ["sig"]
+        pairs = v.alias("a").join(v.alias("b"), join_cond).filter(
+            F.col("a._id") < F.col("b._id")
+        )
+    else:
+        pairs = v.alias("a").join(v.alias("b"), F.col("a._id") < F.col("b._id"))
+    return (
+        pairs.withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("a._v"), F.col("b._v"))
+                / (_norm(F.col("a._v")) * _norm(F.col("b._v"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), F.col("cos")
+        )
+    )
+
+
 def _hyperplane_sig(vec, n_planes: int, dim: int) -> F.Column:
     """Random-hyperplane signature: plane p's normal components are
     deterministic pseudo-randoms sin(xxhash64(p, i)) — reproducible with no

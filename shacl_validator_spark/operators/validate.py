@@ -196,19 +196,21 @@ def _effective_datatype() -> F.Column:
 
 
 def _lexically_valid() -> F.Column:
-    """Lexical-form validity for common XSD types: the cast-null-out trick
-    (SURVEY.md §2.8 DatatypeConstraintComponent)."""
+    """Lexical-form validity for common XSD types: the try_cast-null-out
+    trick (SURVEY.md §2.8 DatatypeConstraintComponent).  ``try_*`` forms are
+    required — Spark 4 runs ANSI mode by default, where a plain cast of an
+    invalid lexical form throws instead of yielding NULL."""
     dt = F.col("datatype")
     v = F.col("object_value")
     return (
         F.when(
             dt.isin(XSD + "integer", XSD + "int", XSD + "long", XSD + "nonNegativeInteger"),
-            v.cast("long").isNotNull(),
+            v.try_cast("long").isNotNull(),
         )
-        .when(dt.isin(XSD + "decimal", XSD + "double", XSD + "float"), v.cast("double").isNotNull())
+        .when(dt.isin(XSD + "decimal", XSD + "double", XSD + "float"), v.try_cast("double").isNotNull())
         .when(dt == XSD + "boolean", F.lower(v).isin("true", "false", "0", "1"))
-        .when(dt == XSD + "dateTime", F.to_timestamp(v).isNotNull())
-        .when(dt == XSD + "date", F.to_date(v).isNotNull())
+        .when(dt == XSD + "dateTime", F.try_to_timestamp(v).isNotNull())
+        .when(dt == XSD + "date", F.try_to_timestamp(v, F.lit("yyyy-MM-dd")).isNotNull())
         .otherwise(F.lit(True))
     )
 
@@ -372,7 +374,9 @@ def validate(
         "left",
     )
 
-    num = F.col("object_value").cast("double")
+    # try_cast: ANSI mode would throw on non-numeric values flowing through
+    # rows whose constraint has no range facet
+    num = F.col("object_value").try_cast("double")
 
     def _hit(cond: F.Column, comp: str) -> F.Column:
         return F.when(cond, F.lit(comp)).otherwise(F.lit(None).cast("string"))

@@ -48,6 +48,45 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def synthesize_media(spark, sf_dir: str):
+    """documents.parquet → deterministic media table (MEDIA_SCHEMA shape):
+    payload = utf-8 bytes of the text, kind cycles image/audio/video,
+    video duration = (doc_id % 10 + 1) seconds.  Pure column expressions so
+    the DuckDB oracle can mirror every derived field."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        F.when(kind == "image", "image/png")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.when(kind == "image", ((F.col("doc_id") % 16) + 1) * 64)
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("width"),
+        F.when(kind == "image", ((F.col("doc_id") % 9) + 1) * 64)
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("height"),
+        F.when(kind == "video", ((F.col("doc_id") % 10) + 1) * 1000)
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
     """STUB decode/feature-extract: deterministic bytes→vector fake.
 

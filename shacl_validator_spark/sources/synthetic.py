@@ -132,6 +132,46 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("object_lang"),
             F.lit("synthetic").alias("graph"),
         ),
+        # ex:alias — every customer has one value; c_custkey % 5 == 0 gets a
+        # second distinct value → maxCount 1 fires for exactly those
+        lit_triple(EX + "alias", F.col("c_name")),
+        cust.filter(F.col("c_custkey") % 5 == 0).select(
+            subj.alias("subject"),
+            F.lit(EX + "alias").alias("predicate"),
+            F.lower(F.col("c_name")).alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        # ex:regdate — xsd:date literal; % 3 == 0 carries a lexically invalid
+        # form → DatatypeConstraintComponent fires
+        lit_triple(
+            EX + "regdate",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("not-a-date")).otherwise(
+                F.lit("2024-01-15")
+            ),
+            "http://www.w3.org/2001/XMLSchema#date",
+        ),
+        # ex:homepage — IRI except % 7 == 0 which is a literal → nodeKind IRI
+        cust.select(
+            subj.alias("subject"),
+            F.lit(EX + "homepage").alias("predicate"),
+            F.format_string("https://cust.example/%d", F.col("c_custkey")).alias(
+                "object_value"
+            ),
+            F.when(F.col("c_custkey") % 7 == 0, "literal")
+            .otherwise("iri")
+            .alias("object_type"),
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                "http://www.w3.org/2001/XMLSchema#string",
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -286,4 +326,25 @@ def customer_constraints() -> list[dict]:
         ),
         row(4, path=EX + "acctbal", path_steps=[[EX + "acctbal"]], min_inclusive=0.0),
         row(5, path=EX + "nation", path_steps=[[EX + "nation"]], class_iri=EX + "Nation"),
+        row(6, path=EX + "alias", path_steps=[[EX + "alias"]], max_count=1),
+        row(
+            7,
+            path=EX + "regdate",
+            path_steps=[[EX + "regdate"]],
+            datatype="http://www.w3.org/2001/XMLSchema#date",
+        ),
+        row(
+            8,
+            path=EX + "homepage",
+            path_steps=[[EX + "homepage"]],
+            node_kind="IRI",
+            severity="Warning",
+        ),
+        row(
+            9,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            max_inclusive=9000.0,
+            severity="Info",
+        ),
     ]

@@ -89,3 +89,28 @@ def test_unlinkable_surface_gets_stable_id(spark):
     )
     got = linked.collect()[0]
     assert got.canonical_id == "surface:zzyzx quux entity"
+
+
+def test_extraction_pr_sparse_facts(spark):
+    """P/R holds on a CC-realistic corpus: boilerplate-heavy pages where
+    only ~30% carry relation sentences (the scaling-bench corpus shape);
+    filler must produce zero false extractions (precision) and every
+    fact-bearing page must yield its triples (recall)."""
+    pages = synthesize_pages(spark, N, filler_sentences=24, fact_density=0.3).cache()
+    raw = extract_raw_triples(pages).cache()
+    mentions = mentions_from_raw(raw)
+    linked = link_mentions(spark, mentions, alias_dict_df(spark, alias_rows()))
+    smap = canonicalize(spark, linked)
+    emitted = (
+        typed_triples(raw, smap)
+        .filter(F.col("predicate").isin(REL_PREDS))
+        .select("subject", "predicate", "object_value")
+        .dropDuplicates()
+        .cache()
+    )
+    exp = expected_triples(spark, N, fact_density=0.3).cache()
+    tp = emitted.join(exp, ["subject", "predicate", "object_value"]).count()
+    n_emitted, n_expected = emitted.count(), exp.count()
+    assert n_expected > 0
+    assert tp / n_emitted >= 0.95, (tp, n_emitted)
+    assert tp / n_expected >= 0.95, (tp, n_expected)

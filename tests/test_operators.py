@@ -171,3 +171,53 @@ def test_link_mentions_small_path_matches_distributed(spark):
             assert small[k] == cid
     assert small[("Acme Corp", "http://example.org/kg#Organization")] == "org:acme"
     assert small[("Zzyzx Quux Entity", "http://example.org/kg#Organization")].startswith("surface:")
+
+
+def test_multimodal_plumbing(spark, tmp_path):
+    """Media schema, Arrow batch shapes, and stubbed kernels round-trip;
+    decode is a deterministic fake (sandbox has no media libs) but the
+    Spark-side plumbing is real (SURVEY.md training-data ops)."""
+    from shacl_validator_spark.sources.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, "/root/testdata/sf0.001").cache()
+    feats = extract_features(media, dim=8)
+    row = feats.orderBy("media_id").first()
+    assert len(row.feature) == 8 and row.n_bytes > 0
+    # determinism: same payload → same feature vector
+    again = extract_features(media, dim=8).orderBy("media_id").first()
+    assert row.feature == again.feature
+
+    resized = resize_images(media.limit(5), 128, 96).collect()
+    assert all(r.meta.width == 128 and r.meta.height == 96 for r in resized)
+
+    frames = sample_frames(media)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert per_video and all(1 <= r["count"] <= 10 for r in per_video)
+
+
+def test_cosine_near_dup_lsh_blocks_subset_of_exact(spark):
+    from shacl_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(doubled, 0.9, exact=True).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(doubled, 0.9).collect()
+    }
+    # LSH blocking may miss pairs but never invents them; identical copies
+    # (cos = 1.0) always share every hyperplane bucket
+    assert blocked <= exact
+    identical = {(r.vec_id, r.vec_id + 1000000) for r in emb.collect()}
+    assert identical <= blocked
