@@ -62,11 +62,14 @@ def merge_triples(
     clustered = keyed.repartition(F.col("partition_key"), salt)
     if not os.path.exists(table_path):
         clustered.write.mode("overwrite").partitionBy("partition_key").parquet(table_path)
-        return spark.read.parquet(table_path).count()
+        # explicit schema: a zero-row batch writes no data files and schema
+        # inference would fail on the empty table
+        return spark.read.schema(clustered.schema).parquet(table_path).count()
 
     touched = [r.partition_key for r in keyed.select("partition_key").dropDuplicates().collect()]
     existing = (
-        spark.read.parquet(table_path)
+        spark.read.schema(clustered.schema)
+        .parquet(table_path)
         .filter(F.col("partition_key").isin(touched))
         .select(*MERGE_KEY)
     )

@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model import RDF_TYPE, SEVERITY_VIOLATION
+from ..model import RDF_TYPE, SEVERITY_VIOLATION, TRIPLE_SCHEMA, VIOLATION_SCHEMA
 from ..operators.components import connected_components
 from ..operators.linking import alias_dict_df, link_mentions
 from ..operators.validate import validate
@@ -36,6 +36,7 @@ from ..shapes import compile_shapes, profile_shapes_ttl
 from ..sources.extract import (
     ENTITY,
     KG,
+    RAW_TRIPLE_SCHEMA,
     XSD_INTEGER,
     extract_raw_triples,
     mentions_from_raw,
@@ -293,7 +294,8 @@ def run_pipeline(
         extract_raw_triples(batch_pages).write.mode("overwrite").parquet(
             os.path.join(scratch, "raw")
         )
-        raw = spark.read.parquet(os.path.join(scratch, "raw"))
+        # explicit schema: skips inference and keeps zero-row batches valid
+        raw = spark.read.schema(RAW_TRIPLE_SCHEMA).parquet(os.path.join(scratch, "raw"))
         stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
 
         t0 = time.time()
@@ -322,7 +324,7 @@ def run_pipeline(
         ).coalesce(tail_parts).write.mode("overwrite").parquet(
             os.path.join(scratch, "typed")
         )
-        triples = spark.read.parquet(os.path.join(scratch, "typed"))
+        triples = spark.read.schema(TRIPLE_SCHEMA).parquet(os.path.join(scratch, "typed"))
         stage_seconds["typed_triples"] = (
             stage_seconds.get("typed_triples", 0.0) + time.time() - t0
         )
@@ -331,7 +333,9 @@ def run_pipeline(
         validate(spark, triples, shapes).write.mode("overwrite").parquet(
             os.path.join(scratch, "violations")
         )
-        violations = spark.read.parquet(os.path.join(scratch, "violations"))
+        violations = spark.read.schema(VIOLATION_SCHEMA).parquet(
+            os.path.join(scratch, "violations")
+        )
         stage_seconds["validate"] = stage_seconds.get("validate", 0.0) + time.time() - t0
         # violating focus nodes are a tiny distinct set → broadcast the anti
         # join so the conformant filter never shuffles the triple stream
@@ -388,8 +392,6 @@ def run_pipeline(
         entities = spark.createDataFrame(
             [], "canonical_id string, surface_forms array<string>, ent_class string"
         )
-        from ..model import VIOLATION_SCHEMA
-
         viol_all = spark.createDataFrame([], VIOLATION_SCHEMA)
     entities = entities.dropDuplicates(["canonical_id"])
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))

@@ -105,3 +105,16 @@ def test_report_round_trip(spark):
         for r in parsed.collect()
     }
     assert orig == back
+
+
+def test_pipeline_empty_and_factless_inputs(spark, tmp_path):
+    """Degenerate inputs must not crash and must keep MERGE/lineage
+    invariants: zero pages, and pages that carry no extractable facts."""
+    out0 = str(tmp_path / "kg0")
+    res0 = run_pipeline(spark, synthesize_pages(spark, 200).limit(0), out0, n_groups=1)
+    assert res0.triples_in == 0 and res0.merged == 0
+
+    out1 = str(tmp_path / "kg1")
+    pages = synthesize_pages(spark, 50, filler_sentences=6, fact_density=0.0)
+    res1 = run_pipeline(spark, pages, out1, n_groups=1)
+    assert res1.triples_in == 0 and res1.violations == 0
