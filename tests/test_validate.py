@@ -154,3 +154,53 @@ def test_validate_is_pure_dataframe(spark, shapes):
     plan = validate(spark, triples, shapes)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_many_constraints_literal_maps(spark):
+    """The literal-embedded constraint maps must handle realistically large
+    profiles (DCAT-AP-scale: hundreds of property shapes) without blowing
+    codegen — 300 constraints over one small graph."""
+    from shacl_validator_spark.operators.validate import validate
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            {
+                "constraint_id": i,
+                "shape_iri": f"ex:S{i % 20}",
+                "target_class": "ex:T",
+                "path": f"ex:p{i % 50}",
+                "path_steps": [[f"ex:p{i % 50}"]],
+                "min_count": 1 if i % 3 == 0 else None,
+                "max_count": None,
+                "datatype": None,
+                "node_kind": "Literal" if i % 5 == 0 else None,
+                "pattern": "^v[0-9]+$" if i % 7 == 0 else None,
+                "flags": None,
+                "in_list": None,
+                "class_iri": None,
+                "min_inclusive": None,
+                "max_inclusive": None,
+                "severity": "Violation",
+                "messages": [{"text": f"m{i}", "lang": "en"}],
+                "foaf_page": None,
+            }
+        )
+    triples = spark.createDataFrame(
+        [
+            ("ex:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "ex:T",
+             "iri", None, None, "g"),
+            ("ex:a", "ex:p0", "v1", "literal", None, None, "g"),
+            ("ex:a", "ex:p0", "xxx", "literal", None, None, "g"),
+        ],
+        "subject string, predicate string, object_value string, object_type string, "
+        "object_datatype string, object_lang string, graph string",
+    )
+    out = validate(spark, triples, rows)
+    comps = {r.sourceConstraintComponent.rsplit("#")[-1] for r in out.collect()}
+    # p0 satisfied for its min-count constraints; the other 49 paths have
+    # zero values → MinCount fires; p0's 'xxx' value breaks constraint 0's
+    # ^v[0-9]+$ pattern
+    assert "MinCountConstraintComponent" in comps
+    assert "PatternConstraintComponent" in comps
+    assert out.count() > 50
