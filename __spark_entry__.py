@@ -929,8 +929,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["token_stats"] = f"""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL}))) AS tokens,
-               SUM(length(text)) AS chars
+               CAST(SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL}))) AS BIGINT) AS tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS chars
         FROM documents GROUP BY lang
     """
 
