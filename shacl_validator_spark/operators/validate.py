@@ -296,8 +296,12 @@ def validate(
                 F.col("object_datatype").alias("hop_datatype"),
                 F.col("object_lang").alias("hop_lang"),
             )
+            # no broadcast hint: the frontier is (targeted focus nodes ×
+            # constraints) and grows with the data and each hop's fan-out —
+            # let AQE pick the strategy (it broadcasts small frontiers at
+            # runtime and falls back to shuffle join on big ones)
             frontier = (
-                F.broadcast(frontier).join(
+                frontier.join(
                     hop,
                     (frontier["constraint_id"] == hop["cid"])
                     & (frontier["node"] == hop["hop_subject"]),
@@ -469,9 +473,14 @@ def validate(
         )
         .agg(F.first("_hs").alias("_hs"))
     )
-    # cascade level 2: per focus node — distinct-value count + merged hits
+    # cascade level 2: per focus node — value-node count + merged hits.
+    # per_value is already distinct on FULL term identity (value, kind,
+    # datatype, lang), so count(*) here counts distinct RDF value NODES —
+    # SHACL's set-of-value-nodes semantics for min/maxCount; a bare
+    # countDistinct(object_value) would collapse "1"^^xsd:int with
+    # "1"^^xsd:string and undercount
     per_focus = per_value.groupBy("constraint_id", "focusNode").agg(
-        F.countDistinct("object_value").alias("_n"),
+        F.count("*").alias("_n"),
         F.array_distinct(F.flatten(F.collect_list("_hs"))).alias("_hs"),
     )
 

@@ -25,7 +25,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MERGE_KEY = ["subject", "predicate", "object_value", "graph"]
+# Full RDF term identity (SURVEY.md §1.3/§2.6 U4): two rows that agree
+# lexically but differ in term kind / datatype / lang are DIFFERENT quads,
+# so the MERGE key must carry all seven columns or set semantics break.
+MERGE_KEY = [
+    "subject",
+    "predicate",
+    "object_value",
+    "object_type",
+    "object_datatype",
+    "object_lang",
+    "graph",
+]
 
 
 def with_partition_key(df: DataFrame, n_buckets: int = 32) -> DataFrame:
@@ -73,7 +84,14 @@ def merge_triples(
         .filter(F.col("partition_key").isin(touched))
         .select(*MERGE_KEY)
     )
-    fresh = clustered.join(existing, MERGE_KEY, "left_anti").localCheckpoint(eager=True)
+    # null-safe equality: object_datatype/object_lang are NULL for IRIs and
+    # plain literals, and plain EqualTo would never match those keys — every
+    # replay would re-insert them
+    cond = None
+    for c in MERGE_KEY:
+        term = clustered[c].eqNullSafe(existing[c])
+        cond = term if cond is None else cond & term
+    fresh = clustered.join(existing, cond, "left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("partition_key").parquet(table_path)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -42,7 +43,7 @@ from ..sources.extract import (
     mentions_from_raw,
 )
 from ..sources.pages import alias_rows
-from .merge import merge_triples
+from .merge import MERGE_KEY, merge_triples
 
 
 @dataclass
@@ -130,12 +131,14 @@ def typed_triples(raw: DataFrame, surface_map: DataFrame) -> DataFrame:
     Emits the relation triples plus the inverse (publishedBy) edges; the
     entity-level support triples live in ``entity_triples``.
 
-    Scale design — no dedup here at all: a triple's RDF-set identity
-    includes ``graph`` (the source url, SURVEY.md §2.6 U4), so duplicates
-    can only arise within one page, and the extraction UDF already drops
-    them per Arrow batch at C speed.  The whole function is therefore
-    broadcast joins + projections — zero shuffles, zero aggregates over the
-    big stream, which is what survives 10^12 rows.
+    Scale design — no dedup here: the function is broadcast joins +
+    projections only, zero shuffles over the big stream.  Uniqueness on the
+    MERGE key is NOT guaranteed by this output, though: two distinct
+    surface forms on one page (e.g. 'Acme Corp'/'ACME Corp') collapse to
+    identical canonical triples after the surface→canonical join, so the
+    caller dedups the post-canonicalization stream (run_pipeline does it
+    once, fused into the scratch-write shuffle) — the first point where
+    MERGE-key uniqueness can actually be asserted.
     """
     smap = F.broadcast(surface_map.select("surface", "canonical_id").dropDuplicates(["surface"]))
     sm_s = smap.withColumnRenamed("surface", "s_surf").withColumnRenamed(
@@ -319,23 +322,27 @@ def run_pipeline(
         # stages get proportionally fewer partitions (oversized task counts
         # on small stages just buy scheduler + shuffle-file overhead)
         tail_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+        # one repartition+dedup shuffle on the narrow canonical stream: the
+        # surface→canonical join can collapse two surface forms on one page
+        # into identical triples, so MERGE-key uniqueness is only assertable
+        # HERE — this shuffle is what lets merge_triples run assume_unique
         typed_triples(raw, surface_map).unionByName(
             entity_triples(surface_map)
-        ).coalesce(tail_parts).write.mode("overwrite").parquet(
-            os.path.join(scratch, "typed")
-        )
+        ).repartition(tail_parts, *MERGE_KEY).dropDuplicates(MERGE_KEY).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scratch, "typed"))
         triples = spark.read.schema(TRIPLE_SCHEMA).parquet(os.path.join(scratch, "typed"))
         stage_seconds["typed_triples"] = (
             stage_seconds.get("typed_triples", 0.0) + time.time() - t0
         )
 
         t0 = time.time()
-        validate(spark, triples, shapes).write.mode("overwrite").parquet(
-            os.path.join(scratch, "violations")
-        )
-        violations = spark.read.schema(VIOLATION_SCHEMA).parquet(
-            os.path.join(scratch, "violations")
-        )
+        # violation reports are a pipeline OUTPUT (the sh:ValidationReport
+        # body per partition group), not scratch — they live under
+        # out_dir/reports and survive the scratch cleanup below
+        report_path = os.path.join(out_dir, "reports", key)
+        validate(spark, triples, shapes).write.mode("overwrite").parquet(report_path)
+        violations = spark.read.schema(VIOLATION_SCHEMA).parquet(report_path)
         stage_seconds["validate"] = stage_seconds.get("validate", 0.0) + time.time() - t0
         # violating focus nodes are a tiny distinct set → broadcast the anti
         # join so the conformant filter never shuffles the triple stream
@@ -361,6 +368,11 @@ def run_pipeline(
             F.sort_array(F.collect_set("surface")).alias("surface_forms"),
             F.min("ent_class").alias("ent_class"),
         ).localCheckpoint(eager=True)
+        # every consumer of the batch's raw/typed scratch has run its action
+        # (merge appended, counts taken); without this a multi-group or
+        # resumed run accumulates a full materialized copy of every batch's
+        # streams on disk for the lifetime of the output dir
+        shutil.rmtree(scratch, ignore_errors=True)
         entities = ent if entities is None else entities.unionByName(ent)
         viol_all = violations if viol_all is None else viol_all.unionByName(violations)
 

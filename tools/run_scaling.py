@@ -116,7 +116,11 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     hi = 4 * lo
-    pages_dir = "/dev/shm/scaling_pages"
+    # generation params are embedded in the corpus path: a cached corpus is
+    # only reused by an invocation with identical n_pages/filler/density —
+    # a bare shared path would silently measure a stale corpus while
+    # reporting the new parameters
+    pages_dir = f"/dev/shm/scaling_pages_{n_pages}_f96_d30"
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         print(f"generating {n_pages} pages → {pages_dir}", flush=True)
         _run_py(GEN.format(repo=REPO, n_pages=n_pages, pages_dir=pages_dir))
