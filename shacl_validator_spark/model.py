@@ -120,6 +120,16 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("class_iri", T.StringType(), True),
         T.StructField("min_inclusive", T.DoubleType(), True),
         T.StructField("max_inclusive", T.DoubleType(), True),
+        T.StructField("min_exclusive", T.DoubleType(), True),
+        T.StructField("max_exclusive", T.DoubleType(), True),
+        # sh:lessThan — sibling property IRI whose values every value node
+        # must be strictly less than (numeric comparison)
+        T.StructField("less_than", T.StringType(), True),
+        T.StructField("unique_lang", T.BooleanType(), True),
+        T.StructField("language_in", T.ArrayType(T.StringType()), True),
+        T.StructField("has_value", T.StringType(), True),
+        T.StructField("min_length", T.IntegerType(), True),
+        T.StructField("max_length", T.IntegerType(), True),
         T.StructField("severity", T.StringType(), False),
         T.StructField("messages", MESSAGE_SCHEMA, True),
         T.StructField("foaf_page", T.StringType(), True),

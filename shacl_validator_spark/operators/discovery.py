@@ -151,6 +151,143 @@ def resolve_formats(triples: DataFrame, distributions: DataFrame) -> DataFrame:
     )
 
 
+# --- F12: the full format-normalization maps --------------------------------
+# Semantic tables re-expressed as when-chains (pure column expressions, no
+# UDF): mime aliases + EU-authority URIs + Spanish labels + URL heuristics
+# (reference DataDiscoveryService.ts:330-475 — extractSimpleFormat :330,
+# normalizeFormatValue :363, extractFormatFromUrl :437; RDF mime aliases
+# RDFService.ts:26-40).
+
+
+def normalize_format_value(col) -> F.Column:
+    """``normalizeFormatValue``: rdf:value / rdfs:label text → 'csv'|'json'|
+    'unknown' — direct mimes, partial matches, Spanish vocabulary labels
+    (DataDiscoveryService.ts:363-389)."""
+    v = F.lower(F.trim(col))
+    is_csv = (
+        v.isin("csv", "text/csv", "application/csv")
+        | v.contains("csv")
+        | v.contains("comma-separated")
+        | v.contains("comma separated values")
+        | v.contains("delimiter-separated")
+        | v.contains("valores separados por comas")
+    )
+    is_json = (
+        v.isin("json", "application/json", "text/json")
+        | v.contains("json")
+        | v.contains("javascript object notation")
+        | v.contains("notación de objetos javascript")
+    )
+    return (
+        F.when(col.isNull(), F.lit("unknown"))
+        .when(is_csv, F.lit("csv"))
+        .when(is_json, F.lit("json"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def extract_simple_format(col) -> F.Column:
+    """``extractSimpleFormat``: direct format strings/URIs → 'csv'|'json'|
+    'unknown' — EU Publications Office authority URIs, W3C/IANA URIs, IANA
+    media types, fragment identifiers, /CSV-style suffixes
+    (DataDiscoveryService.ts:330-360)."""
+    raw = col
+    lo = F.lower(col)
+    eu = raw.contains("publications.europa.eu") | raw.contains("europa.eu")
+    std = raw.contains("w3.org") | raw.contains("iana.org")
+    csv = (
+        (eu & (raw.contains("CSV") | raw.contains("csv")))
+        | (std & (lo.contains("csv") | lo.contains("comma-separated")))
+        | lo.contains("text/csv")
+        | lo.contains("application/csv")
+        | raw.contains("#csv")
+        | (lo == "csv")
+        | raw.endswith("/CSV")
+        | raw.endswith("/csv")
+    )
+    json_ = (
+        (eu & (raw.contains("JSON") | raw.contains("json")))
+        | (std & lo.contains("json"))
+        | lo.contains("application/json")
+        | lo.contains("text/json")
+        | raw.contains("#json")
+        | (lo == "json")
+        | raw.endswith("/JSON")
+        | raw.endswith("/json")
+    )
+    return (
+        F.when(col.isNull(), F.lit("unknown"))
+        .when(csv, F.lit("csv"))
+        .when(json_, F.lit("json"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def extract_format_from_url(col) -> F.Column:
+    """``extractFormatFromUrl``: URL extension / query / path / CKAN-dump /
+    API / export heuristics (DataDiscoveryService.ts:437-475)."""
+    u = F.lower(col)
+    csv = (
+        u.endswith(".csv")
+        | u.contains("format=csv")
+        | u.contains("fmt=csv")
+        | u.contains("/csv/")
+        | u.contains("-csv-")
+        | (u.contains("/dump/") & u.contains("format=csv"))
+        | (u.contains("/api/") & u.contains("csv"))
+        | (u.contains("export") & u.contains("csv"))
+    )
+    json_ = (
+        u.endswith(".json")
+        | u.contains("format=json")
+        | u.contains("fmt=json")
+        | u.contains("/json/")
+        | u.contains("-json-")
+        | (u.contains("/dump/") & u.contains("format=json"))
+        | (u.contains("/api/") & u.contains("json"))
+        | (u.contains("export") & u.contains("json"))
+    )
+    return (
+        F.when(col.isNull(), F.lit("unknown"))
+        .when(csv, F.lit("csv"))
+        .when(json_, F.lit("json"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def simple_format(format_col, media_col, url_col) -> F.Column:
+    """The reference's full fallback chain (extractDistributionInfo,
+    DataDiscoveryService.ts:234-244): format string → mediaType → URL."""
+    fmt = extract_simple_format(format_col)
+    med = normalize_format_value(media_col)
+    url = extract_format_from_url(url_col)
+    return F.when(fmt != "unknown", fmt).when(med != "unknown", med).otherwise(url)
+
+
+def normalize_rdf_mime(col) -> F.Column:
+    """RDF serialization mime aliasing (RDFService.ts:26-40): turtle /
+    rdf+xml / json-ld / n-triples alias groups; null → text/turtle;
+    unrecognized values pass through."""
+    lo = F.lower(col)
+    return (
+        F.when(col.isNull(), F.lit("text/turtle"))
+        .when(lo.isin("turtle", "text/turtle"), F.lit("text/turtle"))
+        .when(
+            lo.isin("application/rdf+xml", "rdf/xml", "rdfxml", "application/xml"),
+            F.lit("application/rdf+xml"),
+        )
+        .when(
+            lo.isin("application/ld+json", "jsonld", "application/json"),
+            F.lit("application/ld+json"),
+        )
+        .when(
+            lo.isin("application/n-triples", "application/ntriples", "n-triples"),
+            F.lit("application/n-triples"),
+        )
+        .otherwise(col)
+    )
+
+
 def is_compatible(format_col, media_col, url_col):
     """P6: distribution kept iff format/mediaType/url indicates csv or json
     (DataDiscoveryService.ts:393-475) as one boolean column expression."""

@@ -68,40 +68,19 @@ FACET_FIELDS = [
     "class_iri",
     "min_inclusive",
     "max_inclusive",
+    "min_exclusive",
+    "max_exclusive",
+    "less_than",
+    "unique_lang",
+    "language_in",
+    "has_value",
+    "min_length",
+    "max_length",
     "severity",
     "messages",
     "shape_iri",
     "foaf_page",
 ]
-
-_FACET_TYPES = {
-    "min_count": "int",
-    "max_count": "int",
-    "min_inclusive": "double",
-    "max_inclusive": "double",
-    "in_list": "array<string>",
-    "messages": "array<struct<text:string,lang:string>>",
-}
-
-
-def _lit(v, field: str) -> F.Column:
-    dt = _FACET_TYPES.get(field, "string")
-    if v is None:
-        return F.lit(None).cast(dt)
-    if field == "in_list":
-        return F.array(*[F.lit(x) for x in v])
-    if field == "messages":
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(m["text"]).alias("text"),
-                    (F.lit(m["lang"]) if m["lang"] is not None else F.lit(None).cast("string")).alias("lang"),
-                )
-                for m in v
-            ]
-        )
-    return F.lit(v).cast(dt)
-
 
 def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
     """Literal map key → array<constraint_id>."""
@@ -114,24 +93,32 @@ def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
     )
 
 
-def _facet_map(constraint_rows: list[dict]) -> F.Column:
-    """Literal map constraint_id → struct of facet columns.
+def _facet_df(spark: SparkSession, constraint_rows: list[dict]) -> DataFrame:
+    """Tiny facet lookup table (one row per constraint), attached to value
+    streams via explicit broadcast join.
 
-    The shapes graph is driver-resident KBs, so its lookup tables are
-    embedded as constant expressions — a compile-time broadcast.  Catalyst
-    constant-folds the map access; no broadcast build, no join, no job."""
-    entries = []
-    for r in sorted(constraint_rows, key=lambda r: r["constraint_id"]):
-        entries.append(F.lit(r["constraint_id"]).cast("long"))
-        entries.append(
-            F.struct(*[_lit(r.get(f), f).alias(f) for f in FACET_FIELDS])
-        )
-    return F.create_map(*entries)
+    Round 1 embedded this as a literal ``create_map`` of structs so Catalyst
+    would constant-fold the lookup; measured at DCAT-AP-scale profiles the
+    literal blows up plan construction and whole-stage codegen superlinearly
+    (every stage inlines n_constraints × n_facets expressions), while a
+    16-row broadcast hash join is effectively free and keeps the generated
+    code constant-size.  The map-free lookups that stay literal (_cid_map)
+    are one entry per predicate — small either way."""
+    from pyspark.sql import types as T
+
+    from ..model import CONSTRAINT_SCHEMA
+
+    wanted = {"constraint_id", *FACET_FIELDS}
+    schema = T.StructType([f for f in CONSTRAINT_SCHEMA.fields if f.name in wanted])
+    rows = [
+        {k: r.get(k) for k in schema.fieldNames()}
+        for r in sorted(constraint_rows, key=lambda r: r["constraint_id"])
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
-def _attach_facets(df: DataFrame, facet_map: F.Column) -> DataFrame:
-    f = facet_map[F.col("constraint_id")]
-    return df.select(*df.columns, *[f[name].alias(name) for name in FACET_FIELDS])
+def _attach_facets(df: DataFrame, facets: DataFrame) -> DataFrame:
+    return df.join(F.broadcast(facets), "constraint_id")
 
 
 def _message_col() -> F.Column:
@@ -215,16 +202,41 @@ def _lexically_valid() -> F.Column:
     )
 
 
+# Above this many targeted focus nodes the validator stops broadcasting
+# data-derived relations (targets, typed_set) and plans hint-free shuffle
+# joins instead — AQE then picks broadcast/shuffle per runtime size and
+# applies skew-join splitting on hub focus nodes.  Overridable per session
+# via spark.conf "spark.kg.validate.broadcastRows" or per call.
+DEFAULT_BROADCAST_ROWS = 4_000_000
+
+
 def validate(
     spark: SparkSession,
     triples: DataFrame,
     constraint_rows: list[dict],
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Run every compiled constraint against the triples table.
 
     Returns the violations DataFrame (VIOLATION_SCHEMA).  ``constraint_rows``
     is the driver-side output of ``shapes.compile_shapes`` — kept as rows so
     path-evaluation structure (number of steps) is known at plan-build time.
+
+    ``broadcast_rows`` gates the two data-derived broadcasts: ``targets``
+    (constraint × typed focus node) and ``typed_set`` (distinct node→class
+    pairs) both GROW WITH THE CORPUS, so an unconditional broadcast dies at
+    plan time past the 8 GB broadcast ceiling (~10^9 canonical entities).
+    The gate probes ``targets`` with a bounded ``limit(K+1).count()`` (the
+    probe short-circuits once K+1 rows exist — it never scans a big graph
+    fully); at or below K the classic broadcast plan is kept, above K every
+    data-derived join is left hint-free for AQE.  Pass ``0`` to force the
+    shuffle path (used by tests), ``None`` to read the session conf.
+
+    ``triples`` should be a materialized relation (parquet/Iceberg-backed,
+    as the pipeline's scratch tables are): the target set is recomputed by
+    its consumers as a pushed-down ``predicate == rdf:type`` scan instead of
+    being pinned with localCheckpoint, which does not survive executor loss
+    and measurably collapses under memory pressure on wide streams.
     """
     if not constraint_rows:
         return spark.createDataFrame([], VIOLATION_SCHEMA)
@@ -337,11 +349,22 @@ def validate(
             "object_type string, object_datatype string, object_lang string",
         )
 
-    facet_map = _facet_map(constraint_rows)
+    facets = _facet_df(spark, constraint_rows)
 
-    # materialize targets once — consumed twice below and tiny (distinct
-    # typed focus nodes collapse massively after canonicalization)
-    targets = targets.localCheckpoint(eager=True)
+    if broadcast_rows is None:
+        broadcast_rows = int(
+            spark.conf.get("spark.kg.validate.broadcastRows", str(DEFAULT_BROADCAST_ROWS))
+        )
+    # LIMIT takes an int32 — clamp; a threshold past 2^31 rows means
+    # "always broadcast" anyway (no probe needed)
+    probe_n = min(broadcast_rows + 1, 2**31 - 1) if broadcast_rows > 0 else 0
+    small = broadcast_rows > 0 and (
+        broadcast_rows >= 2**31 - 1
+        or targets.limit(probe_n).count() <= broadcast_rows
+    )
+
+    def _gate(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     # =======================================================================
     # Single-scan rule evaluation.  The value stream (every value occurrence
@@ -359,16 +382,15 @@ def validate(
     # hub entities, and per-row results would duplicate per page.
     # =======================================================================
     values = _attach_facets(
-        vals.join(F.broadcast(targets), ["constraint_id", "focusNode"], "left_semi"),
-        facet_map,
+        vals.join(_gate(targets), ["constraint_id", "focusNode"], "left_semi"),
+        facets,
     )
 
-    # sh:class needs a type lookup per IRI value: broadcast the distinct
-    # (node, class) set (J6 as a broadcast left join — at 10^12 triples the
-    # canonical entity set is still orders of magnitude smaller than the
-    # stream; if it ever outgrows broadcast range this becomes a bucketed
-    # join on object_value)
-    typed_set = F.broadcast(
+    # sh:class needs a type lookup per IRI value: the distinct (node, class)
+    # set rides the same size gate as targets (J6) — broadcast when small,
+    # hint-free shuffle join on object_value (AQE skew-handled) when the
+    # entity set outgrows broadcast range
+    typed_set = _gate(
         types.select(F.col("subject").alias("t_node"), F.col("cls").alias("t_cls"))
     )
     values = values.join(
@@ -377,6 +399,40 @@ def validate(
         & (values["class_iri"] == typed_set["t_cls"]),
         "left",
     )
+
+    # sh:lessThan: every value v of the path must be strictly less than
+    # every value w of the sibling property — v violates iff ∃w ¬(v<w)
+    # ⟺ v >= min(w) (numeric; non-numeric on either side is a comparison
+    # failure → violation, per SHACL).  The compare relation aggregates to
+    # one row per (constraint, focus) — target-set-sized — and rides the
+    # same broadcast gate as targets.
+    lt_by_pred: dict[str, list[int]] = {}
+    for r in constraint_rows:
+        if r.get("less_than"):
+            lt_by_pred.setdefault(r["less_than"], []).append(r["constraint_id"])
+    if lt_by_pred:
+        lt_map = _cid_map(lt_by_pred)
+        lt_agg = (
+            triples.select(
+                F.explode(lt_map[F.col("predicate")]).alias("constraint_id"),
+                F.col("subject").alias("focusNode"),
+                F.col("object_value").try_cast("double").alias("_w"),
+            )
+            .groupBy("constraint_id", "focusNode")
+            .agg(
+                F.min("_w").alias("_lt_min"),
+                F.max(F.col("_w").isNull().cast("int")).alias("_lt_bad"),
+                F.count(F.lit(1)).alias("_lt_n"),
+            )
+        )
+        values = values.join(_gate(lt_agg), ["constraint_id", "focusNode"], "left")
+    else:
+        values = values.select(
+            "*",
+            F.lit(None).cast("double").alias("_lt_min"),
+            F.lit(None).cast("int").alias("_lt_bad"),
+            F.lit(None).cast("long").alias("_lt_n"),
+        )
 
     # try_cast: ANSI mode would throw on non-numeric values flowing through
     # rows whose constraint has no range facet
@@ -432,6 +488,56 @@ def validate(
             & (num.isNull() | (num > F.col("max_inclusive"))),
             "MaxInclusive",
         ),
+        _hit(
+            F.col("min_exclusive").isNotNull()
+            & (num.isNull() | (num <= F.col("min_exclusive"))),
+            "MinExclusive",
+        ),
+        _hit(
+            F.col("max_exclusive").isNotNull()
+            & (num.isNull() | (num >= F.col("max_exclusive"))),
+            "MaxExclusive",
+        ),
+        _hit(
+            F.col("less_than").isNotNull()
+            & F.col("_lt_n").isNotNull()
+            & ((F.col("_lt_bad") > 0) | num.isNull() | (num >= F.col("_lt_min"))),
+            "LessThan",
+        ),
+        # sh:languageIn: value must be a language-tagged literal whose tag
+        # (or its BCP47 primary subtag) is in the list
+        _hit(
+            F.col("language_in").isNotNull()
+            & (
+                F.col("object_lang").isNull()
+                | (
+                    ~F.array_contains(
+                        F.col("language_in"), F.lower(F.col("object_lang"))
+                    )
+                    & ~F.array_contains(
+                        F.col("language_in"),
+                        F.split(F.lower(F.col("object_lang")), "-")[0],
+                    )
+                )
+            ),
+            "LanguageIn",
+        ),
+        _hit(
+            F.col("min_length").isNotNull()
+            & (
+                (F.col("object_type") == "bnode")
+                | (F.length("object_value") < F.col("min_length"))
+            ),
+            "MinLength",
+        ),
+        _hit(
+            F.col("max_length").isNotNull()
+            & (
+                (F.col("object_type") == "bnode")
+                | (F.length("object_value") > F.col("max_length"))
+            ),
+            "MaxLength",
+        ),
         # sh:class: a literal value can never satisfy it; an IRI/bnode value
         # satisfies it iff the broadcast type lookup matched (t_node present)
         _hit(
@@ -462,6 +568,11 @@ def validate(
             "object_datatype",
             "object_lang",
             hit_structs.alias("_hs"),
+            # sh:hasValue satisfaction flag; deterministic per group key
+            (
+                F.col("has_value").isNotNull()
+                & (F.col("object_value") == F.col("has_value"))
+            ).alias("_hv"),
         )
         .groupBy(
             "constraint_id",
@@ -471,7 +582,7 @@ def validate(
             "object_datatype",
             "object_lang",
         )
-        .agg(F.first("_hs").alias("_hs"))
+        .agg(F.first("_hs").alias("_hs"), F.first("_hv").alias("_hv"))
     )
     # cascade level 2: per focus node — value-node count + merged hits.
     # per_value is already distinct on FULL term identity (value, kind,
@@ -482,6 +593,7 @@ def validate(
     per_focus = per_value.groupBy("constraint_id", "focusNode").agg(
         F.count("*").alias("_n"),
         F.array_distinct(F.flatten(F.collect_list("_hs"))).alias("_hs"),
+        F.max(F.col("_hv").cast("int")).alias("_hv_found"),
     )
 
     # targets-side LEFT join so zero-value focus nodes are seen (the classic
@@ -490,42 +602,82 @@ def validate(
         targets.join(per_focus, ["constraint_id", "focusNode"], "left").withColumn(
             "n_values", F.coalesce(F.col("_n"), F.lit(0))
         ),
-        facet_map,
+        facets,
     )
 
-    out: list[DataFrame] = []
-    out.append(
-        _as_violations(
-            agg.filter(
-                F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count"))
-            ).withColumn("object_value", F.lit(None).cast("string")),
-            _component("MinCount"),
-            F.lit(None),
-        )
-    )
-    out.append(
-        _as_violations(
-            agg.filter(
-                F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count"))
-            ).withColumn("object_value", F.lit(None).cast("string")),
-            _component("MaxCount"),
-            F.lit(None),
-        )
-    )
-    hits = agg.select(
-        *agg.columns, F.explode("_hs").alias("_hit")
-    ).withColumn("object_value", F.col("_hit.v"))
-    out.append(
-        _as_violations(
-            hits,
-            F.concat(F.lit(SH), F.col("_hit.comp"), F.lit("ConstraintComponent")),
-            F.col("_hit.v"),
-        )
-    )
+    # ------------------------------------------------------------------
+    # Single-pass output assembly: every per-focus component (MinCount,
+    # MaxCount, HasValue) and every per-value hit already merged into _hs
+    # become ONE violation-struct array per agg row, exploded ONCE.  Round 1
+    # unioned four filter branches over the same agg subtree — correct, but
+    # each branch re-traversed the relation and compiled its own codegen
+    # stages; one pass is both the faster small-data plan and one scan
+    # instead of four at 10^12 rows.
+    # ------------------------------------------------------------------
+    VS = "struct<comp:string,v:string>"
 
-    result = out[0]
-    for part in out[1:]:
-        result = result.unionByName(part)
+    def _vio(cond: F.Column, comp: str) -> F.Column:
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(_component(comp)).alias("comp"),
+                F.lit(None).cast("string").alias("v"),
+            ),
+        ).otherwise(F.lit(None).cast(VS))
+
+    focus_checks = F.array(
+        _vio(
+            F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count")),
+            "MinCount",
+        ),
+        _vio(
+            F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count")),
+            "MaxCount",
+        ),
+        # sh:hasValue: violated per focus node when no value node equals the
+        # required value — including zero-value focus nodes (left join ⇒
+        # _hv_found null ⇒ coalesce 0)
+        _vio(
+            F.col("has_value").isNotNull()
+            & (F.coalesce(F.col("_hv_found"), F.lit(0)) == 0),
+            "HasValue",
+        ),
+    )
+    value_hits = F.transform(
+        F.coalesce(F.col("_hs"), F.array().cast(f"array<{VS}>")),
+        lambda h: F.struct(
+            F.concat(F.lit(SH), h["comp"], F.lit("ConstraintComponent")).alias("comp"),
+            h["v"].alias("v"),
+        ),
+    )
+    all_vios = F.concat(F.filter(focus_checks, lambda x: x.isNotNull()), value_hits)
+    exploded = agg.select(*agg.columns, F.explode(all_vios).alias("_vio")).withColumn(
+        "object_value", F.col("_vio.v")
+    )
+    result = _as_violations(exploded, F.col("_vio.comp"), F.col("_vio.v"))
+
+    # sh:uniqueLang stays a separate (rarely-built) branch: one violation per
+    # (focus, duplicated language tag); per_value is distinct on term
+    # identity so the count is over distinct value nodes sharing a tag
+    ul_ids = [r["constraint_id"] for r in constraint_rows if r.get("unique_lang")]
+    if ul_ids:
+        dup_langs = (
+            per_value.filter(
+                F.col("constraint_id").isin(ul_ids) & F.col("object_lang").isNotNull()
+            )
+            .groupBy(
+                "constraint_id", "focusNode", F.lower("object_lang").alias("_lang")
+            )
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+        )
+        dup_langs = _attach_facets(dup_langs, facets).withColumn(
+            "object_value", F.col("_lang")
+        )
+        result = result.unionByName(
+            _as_violations(dup_langs, _component("UniqueLang"), F.col("_lang"))
+        )
+
     # set semantics on results: one sh:ValidationResult per
     # (focus, path, value, component), matching the reference engine's
     # result identity; the input to this dedup is already tiny.

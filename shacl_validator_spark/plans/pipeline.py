@@ -244,6 +244,7 @@ def run_pipeline(
     n_buckets: int = 32,
     resume: bool = True,
     extra_alias_rows: list[tuple[str, str]] | None = None,
+    parallel_groups: int = 1,
 ) -> PipelineResult:
     """Run extract → link → canonicalize → validate → MERGE over ``pages``.
 
@@ -251,7 +252,20 @@ def run_pipeline(
     (grouped by url hash); each group is validated and merged independently
     with a lineage row + manifest entry, so a killed job resumes where it
     stopped (FIXTURES.md §8).
+
+    ``parallel_groups`` drives groups through a thread pool: Spark's
+    scheduler interleaves the per-group jobs, so one group's Python-side
+    extraction overlaps another's shuffle — the fix for the round-1 finding
+    that thousands of groups serialize on the driver loop.  The MERGE +
+    lineage + manifest commit runs under a single lock (it must: entity
+    support triples repeat across groups, and the anti-join is only
+    exactly-once if merges are ordered); everything before the commit is
+    group-local and runs concurrently.  With the default of 1 the behavior
+    is byte-identical to the sequential loop.
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "checkpoint_manifest.json")
     lineage_path = os.path.join(out_dir, "lineage.jsonl")
@@ -267,83 +281,77 @@ def run_pipeline(
 
     totals = {"triples_in": 0, "triples_valid": 0, "violations": 0, "merged": 0}
     stage_seconds: dict[str, float] = {}
-    entities = None
-    viol_all = None
+    ent_parts: list[DataFrame] = []
+    viol_parts: list[DataFrame] = []
+    commit_lock = threading.Lock()
+    acc_lock = threading.Lock()
 
     pages_g = pages.withColumn("_grp", F.pmod(F.xxhash64(F.col("url")), n_groups))
     grp_sizes = {
         r["_grp"]: r["n"]
         for r in pages_g.groupBy("_grp").agg(F.count("*").alias("n")).collect()
     }
-    for grp in range(n_groups):
+
+    def _bump(stage: str, t0: float) -> float:
+        # wall-clock per stage; with parallel groups the sums measure
+        # aggregate in-flight time, not critical path
+        with acc_lock:
+            stage_seconds[stage] = stage_seconds.get(stage, 0.0) + time.time() - t0
+        return time.time()
+
+    def _process_group(grp: int) -> None:
         key = f"grp={grp}"
-        if key in done:
-            continue
         started = "deterministic"  # timestamps recorded as opaque markers in tests
         batch_pages = pages_g.filter(F.col("_grp") == grp).drop("_grp")
         # eager stage-boundary materialization: extraction runs once, the
         # linking map and typed triples are computed once, and the
         # multi-branch validation plan reads materialized inputs (on a real
-        # cluster these become reliable checkpoints / intermediate tables)
+        # cluster these become reliable checkpoints / intermediate tables).
+        # Scratch parquet, not localCheckpoint: the columnar write of the
+        # narrow stream is cheap and constant, while caching millions of
+        # deserialized row objects in executor memory is the single
+        # worst-scaling operation measured on this pipeline (and would not
+        # survive executor loss on a real cluster).
         t0 = time.time()
-        # the raw stream arrives per-page-deduplicated from the extraction
-        # UDF (graph ∈ triple identity ⇒ globally unique), so no shuffle is
-        # needed.  Materialize through scratch parquet, not localCheckpoint:
-        # the columnar write of the narrow stream is cheap and constant,
-        # while caching millions of deserialized row objects in executor
-        # memory is the single worst-scaling operation measured on this
-        # pipeline (and would not survive executor loss on a real cluster).
         scratch = os.path.join(out_dir, "_scratch", key)
         extract_raw_triples(batch_pages).write.mode("overwrite").parquet(
             os.path.join(scratch, "raw")
         )
         # explicit schema: skips inference and keeps zero-row batches valid
         raw = spark.read.schema(RAW_TRIPLE_SCHEMA).parquet(os.path.join(scratch, "raw"))
-        stage_seconds["extract"] = stage_seconds.get("extract", 0.0) + time.time() - t0
+        t0 = _bump("extract", t0)
 
-        t0 = time.time()
         # the distinct-surface set is tiny after dedup — materialize it so
         # the exact-link/LSH/CC consumers never rescan the mention stream
         mentions = mentions_from_raw(raw).localCheckpoint(eager=True)
         linked = link_mentions(spark, mentions, adict)
         surface_map = canonicalize(spark, linked, max_iter=3).localCheckpoint(eager=True)
-        stage_seconds["link_canon"] = (
-            stage_seconds.get("link_canon", 0.0) + time.time() - t0
-        )
+        t0 = _bump("link_canon", t0)
 
-        t0 = time.time()
-        # materialize the typed stream through scratch parquet: validation
-        # scans it four times with column pruning, which beats recomputing
-        # the joins per scan and beats localCheckpoint's row-object cache
-        # cost by ~10x.  The stream itself is produced shuffle-free (the
-        # extraction UDF already deduplicated per page).
         # the typed stream is ~3-5 rows/page — orders of magnitude lighter
         # than the page text the extract stage chewed through — so its
-        # stages get proportionally fewer partitions (oversized task counts
-        # on small stages just buy scheduler + shuffle-file overhead)
+        # stages get proportionally fewer partitions.  One repartition+dedup
+        # shuffle on the narrow canonical stream: the surface→canonical join
+        # can collapse two surface forms on one page into identical triples,
+        # so MERGE-key uniqueness is only assertable HERE — this shuffle is
+        # what lets merge_triples run assume_unique.
         tail_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-        # one repartition+dedup shuffle on the narrow canonical stream: the
-        # surface→canonical join can collapse two surface forms on one page
-        # into identical triples, so MERGE-key uniqueness is only assertable
-        # HERE — this shuffle is what lets merge_triples run assume_unique
         typed_triples(raw, surface_map).unionByName(
             entity_triples(surface_map)
         ).repartition(tail_parts, *MERGE_KEY).dropDuplicates(MERGE_KEY).write.mode(
             "overwrite"
         ).parquet(os.path.join(scratch, "typed"))
         triples = spark.read.schema(TRIPLE_SCHEMA).parquet(os.path.join(scratch, "typed"))
-        stage_seconds["typed_triples"] = (
-            stage_seconds.get("typed_triples", 0.0) + time.time() - t0
-        )
+        t0 = _bump("typed_triples", t0)
 
-        t0 = time.time()
         # violation reports are a pipeline OUTPUT (the sh:ValidationReport
         # body per partition group), not scratch — they live under
         # out_dir/reports and survive the scratch cleanup below
         report_path = os.path.join(out_dir, "reports", key)
         validate(spark, triples, shapes).write.mode("overwrite").parquet(report_path)
         violations = spark.read.schema(VIOLATION_SCHEMA).parquet(report_path)
-        stage_seconds["validate"] = stage_seconds.get("validate", 0.0) + time.time() - t0
+        t0 = _bump("validate", t0)
+
         # violating focus nodes are a tiny distinct set → broadcast the anti
         # join so the conformant filter never shuffles the triple stream
         bad_focus = F.broadcast(
@@ -354,15 +362,37 @@ def run_pipeline(
         conformant = triples.join(bad_focus, "subject", "left_anti")
 
         t0 = time.time()
+        # parquet-footer counts — metadata reads, not scans
         n_in = triples.count()
         n_viol = violations.count()
-        # typed_triples already emitted a deduplicated stream → merge skips
-        # its own dropDuplicates shuffle
-        merged = merge_triples(
-            spark, table_path, conformant, n_buckets=n_buckets, assume_unique=True
-        )
         n_valid = conformant.count()
-        stage_seconds["merge"] = stage_seconds.get("merge", 0.0) + time.time() - t0
+        # the MERGE + lineage + manifest commit is the serialized section:
+        # entity support triples repeat across groups, so a later merge must
+        # observe an earlier one's inserts for the anti-join to be
+        # exactly-once
+        with commit_lock:
+            merged = merge_triples(
+                spark, table_path, conformant, n_buckets=n_buckets, assume_unique=True
+            )
+            with open(lineage_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "partition_key": key,
+                            "src_url_count": int(grp_sizes.get(grp, 0)),
+                            "triples_in": n_in,
+                            "triples_valid": n_valid,
+                            "violations": n_viol,
+                            "started_at": started,
+                            "finished_at": "deterministic",
+                        }
+                    )
+                    + "\n"
+                )
+            done.add(key)
+            with open(manifest_path, "w") as f:
+                json.dump({k: "done" for k in sorted(done)}, f)
+        _bump("merge", t0)
 
         ent = surface_map.groupBy("canonical_id").agg(
             F.sort_array(F.collect_set("surface")).alias("surface_forms"),
@@ -373,38 +403,35 @@ def run_pipeline(
         # resumed run accumulates a full materialized copy of every batch's
         # streams on disk for the lifetime of the output dir
         shutil.rmtree(scratch, ignore_errors=True)
-        entities = ent if entities is None else entities.unionByName(ent)
-        viol_all = violations if viol_all is None else viol_all.unionByName(violations)
+        with acc_lock:
+            ent_parts.append(ent)
+            viol_parts.append(violations)
+            totals["triples_in"] += n_in
+            totals["triples_valid"] += n_valid
+            totals["violations"] += n_viol
+            totals["merged"] += merged
 
-        totals["triples_in"] += n_in
-        totals["triples_valid"] += n_valid
-        totals["violations"] += n_viol
-        totals["merged"] += merged
+    todo = [g for g in range(n_groups) if f"grp={g}" not in done]
+    if parallel_groups <= 1:
+        for grp in todo:
+            _process_group(grp)
+    else:
+        with ThreadPoolExecutor(max_workers=parallel_groups) as pool:
+            for fut in [pool.submit(_process_group, g) for g in todo]:
+                fut.result()
 
-        with open(lineage_path, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "partition_key": key,
-                        "src_url_count": int(grp_sizes.get(grp, 0)),
-                        "triples_in": n_in,
-                        "triples_valid": n_valid,
-                        "violations": n_viol,
-                        "started_at": started,
-                        "finished_at": "deterministic",
-                    }
-                )
-                + "\n"
-            )
-        done.add(key)
-        with open(manifest_path, "w") as f:
-            json.dump({k: "done" for k in sorted(done)}, f)
-
-    if entities is None:
+    if not ent_parts:
         entities = spark.createDataFrame(
             [], "canonical_id string, surface_forms array<string>, ent_class string"
         )
         viol_all = spark.createDataFrame([], VIOLATION_SCHEMA)
+    else:
+        entities = ent_parts[0]
+        for e in ent_parts[1:]:
+            entities = entities.unionByName(e)
+        viol_all = viol_parts[0]
+        for v in viol_parts[1:]:
+            viol_all = viol_all.unionByName(v)
     entities = entities.dropDuplicates(["canonical_id"])
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
 

@@ -455,6 +455,10 @@ def compile_shapes(ttl: str) -> list[dict]:
             dt_t = g.first(prop, SH + "datatype")
             nk_t = g.first(prop, SH + "nodeKind")
             cls_t = g.first(prop, SH + "class")
+            lt_t = g.first(prop, SH + "lessThan")
+            ul_t = g.first(prop, SH + "uniqueLang")
+            li_t = g.first(prop, SH + "languageIn")
+            hv_t = g.first(prop, SH + "hasValue")
             # foaf:page may also sit on the property shape itself
             pp_t = g.first(prop, "http://xmlns.com/foaf/0.1/page")
             for src_shape in [shape]:
@@ -487,6 +491,23 @@ def compile_shapes(ttl: str) -> list[dict]:
                             "class_iri": cls_t.value if cls_t is not None else None,
                             "min_inclusive": _float_of(g.first(prop, SH + "minInclusive")),
                             "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
+                            "min_exclusive": _float_of(g.first(prop, SH + "minExclusive")),
+                            "max_exclusive": _float_of(g.first(prop, SH + "maxExclusive")),
+                            "less_than": lt_t.value if lt_t is not None else None,
+                            "unique_lang": (
+                                True
+                                if ul_t is not None and ul_t.value == "true"
+                                else None
+                            ),
+                            # language tags compare case-insensitively (BCP47)
+                            "language_in": (
+                                [t.value.lower() for t in g.rdf_list(li_t.value)]
+                                if li_t is not None
+                                else None
+                            ),
+                            "has_value": hv_t.value if hv_t is not None else None,
+                            "min_length": _int_of(g.first(prop, SH + "minLength")),
+                            "max_length": _int_of(g.first(prop, SH + "maxLength")),
                             "severity": severity,
                             "messages": messages or None,
                             "foaf_page": (pp_t.value if pp_t is not None else foaf_page),

@@ -138,10 +138,15 @@ kg:DatasetShape a sh:NodeShape ;
 """
 
 # Profile registry — same shape as the reference's ValidationProfile union
-# (src/types.ts:1) keyed to vendored shape graphs.
+# (src/types.ts:1).  The four real profile names carry their FULL vendored
+# suites (shapes/suites.py, file-per-concern like the mqa-config lists);
+# the two mini profiles remain for focused fixtures and the KG hot path.
+from .suites import SUITE_FILES, suite_ttls  # noqa: E402
+
 PROFILES: dict[str, str] = {
     "mini_dcat_ap": MINI_DCAT_AP_TTL,
     "kg_extraction": KG_EXTRACTION_TTL,
+    **{name: "\n".join(suite_ttls(name)) for name in SUITE_FILES},
 }
 
 _shapes_cache: dict[str, list[dict]] = {}
@@ -154,3 +159,18 @@ def profile_shapes_ttl(profile: str) -> str:
     if profile not in PROFILES:
         raise KeyError(f"unknown profile {profile!r}; known: {sorted(PROFILES)}")
     return PROFILES[profile]
+
+
+def compiled_profile(profile: str) -> list[dict]:
+    """Compiled constraint rows for a profile, cached per profile name —
+    the Spark analog of the reference's shaclShapesCache."""
+    rows = _shapes_cache.get(profile)
+    if rows is None:
+        from .compiler import compile_shape_files
+
+        if profile in SUITE_FILES:
+            rows = compile_shape_files(suite_ttls(profile))
+        else:
+            rows = compile_shape_files([PROFILES[profile]])
+        _shapes_cache[profile] = rows
+    return rows

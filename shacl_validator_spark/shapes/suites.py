@@ -1,0 +1,636 @@
+"""Full profile shape suites: dcat_ap, dcat_ap_es, dcat_ap_es_hvd, nti_risp.
+
+The reference ships each profile as a LIST of SHACL shape files fetched
+remotely and unioned (reference src/config/mqa-config.json:38-140 — e.g.
+the dcat_ap_es list at :52-61 names shacl_common_shapes.ttl,
+shacl_catalog_shape.ttl, shacl_dataservice_shape.ttl,
+shacl_dataset_shape.ttl, shacl_distribution_shape.ttl and
+shacl_mdr-vocabularies.shape.ttl; union at
+src/services/SHACLValidationService.ts:124-134).  The sandbox has no
+network, so the suites are VENDORED here — re-authored from the published
+DCAT-AP 2.x / DCAT-AP-ES 1.0 / NTI-RISP specifications (public W3C/SEMIC/
+datos.gob.es documents), structured file-per-concern exactly like the
+reference's lists.  They exercise every constraint component the compiler
+supports: cardinalities, datatype, nodeKind, class, pattern, in-vocabulary,
+value ranges, uniqueLang, languageIn, plus multilingual messages and
+severities.
+
+Vocabulary lists (EU authority tables, NTI sector taxonomy) are the
+published controlled-vocabulary URIs — the same ones the reference's
+``mdr-vocabularies.shape.ttl`` carries.
+"""
+
+from __future__ import annotations
+
+_PREFIXES = """
+@prefix sh:     <http://www.w3.org/ns/shacl#> .
+@prefix dcat:   <http://www.w3.org/ns/dcat#> .
+@prefix dcatap: <http://data.europa.eu/r5r/> .
+@prefix dct:    <http://purl.org/dc/terms/> .
+@prefix foaf:   <http://xmlns.com/foaf/0.1/> .
+@prefix vcard:  <http://www.w3.org/2006/vcard/ns#> .
+@prefix xsd:    <http://www.w3.org/2001/XMLSchema#> .
+@prefix es:     <https://datosgobes.github.io/DCAT-AP-ES/shapes#> .
+@prefix esmdr:  <https://datosgobes.github.io/DCAT-AP-ES/mdr#> .
+@prefix nti:    <http://datos.gob.es/recurso/sector-publico/shapes#> .
+@prefix ap:     <https://semiceu.github.io/DCAT-AP/shapes#> .
+@prefix hvd:    <https://datosgobes.github.io/DCAT-AP-ES/hvd#> .
+"""
+
+# --- common shapes (Agent / PeriodOfTime / ContactPoint) --------------------
+# analog of shacl_common_shapes.ttl (mqa-config.json:55)
+
+ES_COMMON_SHAPES_TTL = _PREFIXES + """
+es:AgentShape a sh:NodeShape ;
+    sh:targetClass foaf:Agent ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#agent> ;
+    sh:property [
+        sh:path foaf:name ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+        sh:message "An agent must have a foaf:name"@en ;
+        sh:message "Un agente debe tener foaf:name"@es ;
+    ] .
+
+es:PeriodOfTimeShape a sh:NodeShape ;
+    sh:targetClass dct:PeriodOfTime ;
+    sh:property [
+        sh:path dcat:startDate ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dcat:endDate ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] .
+
+es:ContactPointShape a sh:NodeShape ;
+    sh:targetClass vcard:Kind ;
+    sh:property [
+        sh:path vcard:hasEmail ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+        sh:message "vcard:hasEmail should be a mailto: IRI"@en ;
+    ] .
+"""
+
+# --- catalog shape ----------------------------------------------------------
+# analog of shacl_catalog_shape.ttl (mqa-config.json:56)
+
+ES_CATALOG_SHAPE_TTL = _PREFIXES + """
+es:CatalogShape a sh:NodeShape ;
+    sh:targetClass dcat:Catalog ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#catalog> ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+        sh:message "Catalog must have at least one dct:title, one per language"@en ;
+        sh:message "El catalogo debe tener al menos un dct:title, uno por idioma"@es ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:publisher ;
+        sh:minCount 1 ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:class foaf:Agent ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:dataset ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Violation ;
+        sh:message "Less than 1 values on dcat:dataset"@en ;
+    ] ;
+    sh:property [
+        sh:path foaf:homepage ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:issued ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:modified ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] .
+"""
+
+# --- dataset shape ----------------------------------------------------------
+# analog of shacl_dataset_shape.ttl (mqa-config.json:58)
+
+ES_DATASET_SHAPE_TTL = _PREFIXES + """
+es:DatasetShape a sh:NodeShape ;
+    sh:targetClass dcat:Dataset ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#dataset> ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+        sh:message "Dataset must have at least one dct:title, one per language"@en ;
+        sh:message "El dataset debe tener al menos un dct:title, uno por idioma"@es ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+        sh:message "Dataset must have at least one dct:description"@en ;
+        sh:message "El dataset debe tener al menos un dct:description"@es ;
+    ] ;
+    sh:property [
+        sh:path dcat:theme ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:publisher ;
+        sh:minCount 1 ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:class foaf:Agent ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:distribution ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:issued ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:modified ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:accrualPeriodicity ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:spatial ;
+        sh:class dct:Location ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:temporal ;
+        sh:class dct:PeriodOfTime ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dcat:contactPoint ;
+        sh:nodeKind sh:BlankNodeOrIRI ;
+        sh:severity sh:Info ;
+    ] .
+"""
+
+# --- distribution shape -----------------------------------------------------
+# analog of shacl_distribution_shape.ttl (mqa-config.json:59)
+
+ES_DISTRIBUTION_SHAPE_TTL = _PREFIXES + """
+es:DistributionShape a sh:NodeShape ;
+    sh:targetClass dcat:Distribution ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#distribution> ;
+    sh:property [
+        sh:path dcat:accessURL ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Violation ;
+        sh:message "Distribution must have a dcat:accessURL"@en ;
+        sh:message "La distribucion debe tener dcat:accessURL"@es ;
+    ] ;
+    sh:property [
+        sh:path dct:format ;
+        sh:maxCount 1 ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dcat:mediaType ;
+        sh:maxCount 1 ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dcat:byteSize ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:nonNegativeInteger ;
+        sh:minInclusive 0 ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:license ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:title ;
+        sh:uniqueLang true ;
+        sh:severity sh:Info ;
+    ] .
+"""
+
+# --- data service shape -----------------------------------------------------
+# analog of shacl_dataservice_shape.ttl (mqa-config.json:57)
+
+ES_DATASERVICE_SHAPE_TTL = _PREFIXES + """
+es:DataServiceShape a sh:NodeShape ;
+    sh:targetClass dcat:DataService ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#dataservice> ;
+    sh:property [
+        sh:path dcat:endpointURL ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Violation ;
+        sh:message "DataService must have a dcat:endpointURL"@en ;
+    ] ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:servesDataset ;
+        sh:class dcat:Dataset ;
+        sh:severity sh:Warning ;
+    ] .
+"""
+
+# --- MDR vocabulary memberships --------------------------------------------
+# analog of shacl_mdr-vocabularies.shape.ttl (mqa-config.json:55); the
+# sh:in lists carry the published EU authority-table URIs
+
+ES_MDR_VOCABULARIES_TTL = _PREFIXES + """
+esmdr:DatasetThemeVocabShape a sh:NodeShape ;
+    sh:targetClass dcat:Dataset ;
+    sh:property [
+        sh:path dcat:theme ;
+        sh:in (
+            <http://publications.europa.eu/resource/authority/data-theme/AGRI>
+            <http://publications.europa.eu/resource/authority/data-theme/ECON>
+            <http://publications.europa.eu/resource/authority/data-theme/EDUC>
+            <http://publications.europa.eu/resource/authority/data-theme/ENER>
+            <http://publications.europa.eu/resource/authority/data-theme/ENVI>
+            <http://publications.europa.eu/resource/authority/data-theme/GOVE>
+            <http://publications.europa.eu/resource/authority/data-theme/HEAL>
+            <http://publications.europa.eu/resource/authority/data-theme/INTR>
+            <http://publications.europa.eu/resource/authority/data-theme/JUST>
+            <http://publications.europa.eu/resource/authority/data-theme/REGI>
+            <http://publications.europa.eu/resource/authority/data-theme/SOCI>
+            <http://publications.europa.eu/resource/authority/data-theme/TECH>
+            <http://publications.europa.eu/resource/authority/data-theme/TRAN>
+            <http://publications.europa.eu/resource/authority/data-theme/OP_DATPRO>
+        ) ;
+        sh:severity sh:Warning ;
+        sh:message "dcat:theme must come from the EU data-theme authority table"@en ;
+        sh:message "dcat:theme debe proceder de la tabla data-theme de la UE"@es ;
+    ] .
+
+esmdr:CatalogLanguageVocabShape a sh:NodeShape ;
+    sh:targetClass dcat:Catalog ;
+    sh:property [
+        sh:path dct:language ;
+        sh:in (
+            <http://publications.europa.eu/resource/authority/language/SPA>
+            <http://publications.europa.eu/resource/authority/language/ENG>
+            <http://publications.europa.eu/resource/authority/language/FRA>
+            <http://publications.europa.eu/resource/authority/language/POR>
+            <http://publications.europa.eu/resource/authority/language/CAT>
+            <http://publications.europa.eu/resource/authority/language/EUS>
+            <http://publications.europa.eu/resource/authority/language/GLG>
+        ) ;
+        sh:severity sh:Warning ;
+    ] .
+
+esmdr:DistributionAvailabilityVocabShape a sh:NodeShape ;
+    sh:targetClass dcat:Distribution ;
+    sh:property [
+        sh:path dcatap:availability ;
+        sh:in (
+            <http://publications.europa.eu/resource/authority/planned-availability/AVAILABLE>
+            <http://publications.europa.eu/resource/authority/planned-availability/STABLE>
+            <http://publications.europa.eu/resource/authority/planned-availability/TEMPORARY>
+        ) ;
+        sh:severity sh:Info ;
+    ] .
+"""
+
+# --- HVD additions (dcat_ap_es_hvd, mqa-config.json:78-91) ------------------
+
+ES_HVD_SHAPE_TTL = _PREFIXES + """
+hvd:DatasetHVDShape a sh:NodeShape ;
+    sh:targetClass dcat:Dataset ;
+    foaf:page <https://datosgobes.github.io/DCAT-AP-ES/#hvd> ;
+    sh:property [
+        sh:path dcatap:applicableLegislation ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:hasValue <http://data.europa.eu/eli/reg_impl/2023/138/oj> ;
+        sh:severity sh:Violation ;
+        sh:message "HVD dataset must reference the HVD implementing regulation"@en ;
+    ] ;
+    sh:property [
+        sh:path dcatap:hvdCategory ;
+        sh:minCount 1 ;
+        sh:in (
+            <http://data.europa.eu/bna/c_164e0bf5>
+            <http://data.europa.eu/bna/c_ac64a52d>
+            <http://data.europa.eu/bna/c_dd313021>
+            <http://data.europa.eu/bna/c_a9135398>
+            <http://data.europa.eu/bna/c_b79e35eb>
+            <http://data.europa.eu/bna/c_e1da4e07>
+        ) ;
+        sh:severity sh:Violation ;
+        sh:message "HVD dataset must carry a high-value-dataset category"@en ;
+    ] .
+"""
+
+# --- NTI-RISP (mqa-config.json:128-136) -------------------------------------
+# Spanish 2013 reuse norm: DIR3 publisher pattern, sector-publico taxonomy
+
+NTI_RISP_SHAPES_TTL = _PREFIXES + """
+nti:CatalogShape a sh:NodeShape ;
+    sh:targetClass dcat:Catalog ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:publisher ;
+        sh:minCount 1 ;
+        sh:maxCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:pattern "^http://datos\\\\.gob\\\\.es/recurso/sector-publico/org/Organismo/.+" ;
+        sh:severity sh:Violation ;
+        sh:message "Publisher must be a DIR3 organism IRI"@en ;
+        sh:message "El publicador debe ser un IRI de organismo DIR3"@es ;
+    ] .
+
+nti:DatasetShape a sh:NodeShape ;
+    sh:targetClass dcat:Dataset ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:theme ;
+        sh:minCount 1 ;
+        sh:in (
+            <http://datos.gob.es/kos/sector-publico/sector/ciencia-tecnologia>
+            <http://datos.gob.es/kos/sector-publico/sector/cultura-ocio>
+            <http://datos.gob.es/kos/sector-publico/sector/demografia>
+            <http://datos.gob.es/kos/sector-publico/sector/economia>
+            <http://datos.gob.es/kos/sector-publico/sector/educacion>
+            <http://datos.gob.es/kos/sector-publico/sector/empleo>
+            <http://datos.gob.es/kos/sector-publico/sector/energia>
+            <http://datos.gob.es/kos/sector-publico/sector/hacienda>
+            <http://datos.gob.es/kos/sector-publico/sector/industria>
+            <http://datos.gob.es/kos/sector-publico/sector/legislacion-justicia>
+            <http://datos.gob.es/kos/sector-publico/sector/medio-ambiente>
+            <http://datos.gob.es/kos/sector-publico/sector/medio-rural-pesca>
+            <http://datos.gob.es/kos/sector-publico/sector/salud>
+            <http://datos.gob.es/kos/sector-publico/sector/sector-publico>
+            <http://datos.gob.es/kos/sector-publico/sector/seguridad>
+            <http://datos.gob.es/kos/sector-publico/sector/sociedad-bienestar>
+            <http://datos.gob.es/kos/sector-publico/sector/transporte>
+            <http://datos.gob.es/kos/sector-publico/sector/turismo>
+            <http://datos.gob.es/kos/sector-publico/sector/urbanismo-infraestructuras>
+            <http://datos.gob.es/kos/sector-publico/sector/vivienda>
+        ) ;
+        sh:severity sh:Violation ;
+        sh:message "Theme must come from the NTI-RISP primary-sector taxonomy"@en ;
+    ] .
+
+nti:DistributionShape a sh:NodeShape ;
+    sh:targetClass dcat:Distribution ;
+    sh:property [
+        sh:path dcat:accessURL ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:format ;
+        sh:minCount 1 ;
+        sh:severity sh:Warning ;
+    ] .
+"""
+
+# --- plain DCAT-AP (mqa-config.json:108-116) --------------------------------
+
+DCAT_AP_SHAPES_TTL = _PREFIXES + """
+ap:CatalogShape a sh:NodeShape ;
+    sh:targetClass dcat:Catalog ;
+    foaf:page <https://semiceu.github.io/DCAT-AP/#catalog> ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:publisher ;
+        sh:minCount 1 ;
+        sh:maxCount 1 ;
+        sh:class foaf:Agent ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:dataset ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+        sh:message "Less than 1 values on dcat:dataset"@en ;
+    ] .
+
+ap:DatasetShape a sh:NodeShape ;
+    sh:targetClass dcat:Dataset ;
+    foaf:page <https://semiceu.github.io/DCAT-AP/#dataset> ;
+    sh:property [
+        sh:path dct:title ;
+        sh:minCount 1 ;
+        sh:uniqueLang true ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dct:description ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:theme ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Warning ;
+    ] ;
+    sh:property [
+        sh:path dct:issued ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:date ;
+        sh:severity sh:Warning ;
+    ] .
+
+ap:DistributionShape a sh:NodeShape ;
+    sh:targetClass dcat:Distribution ;
+    sh:property [
+        sh:path dcat:accessURL ;
+        sh:minCount 1 ;
+        sh:nodeKind sh:IRI ;
+        sh:severity sh:Violation ;
+    ] ;
+    sh:property [
+        sh:path dcat:byteSize ;
+        sh:maxCount 1 ;
+        sh:datatype xsd:nonNegativeInteger ;
+        sh:severity sh:Warning ;
+    ] .
+"""
+
+# --- sample catalogs (the sampleUrl analog, mqa-config.json:50,76,106,126) --
+# conforming fixtures per profile, mirroring the official example catalogs
+
+_SAMPLE_PREFIXES = """
+@prefix dcat:   <http://www.w3.org/ns/dcat#> .
+@prefix dcatap: <http://data.europa.eu/r5r/> .
+@prefix dct:    <http://purl.org/dc/terms/> .
+@prefix foaf:   <http://xmlns.com/foaf/0.1/> .
+@prefix xsd:    <http://www.w3.org/2001/XMLSchema#> .
+"""
+
+ES_SAMPLE_CATALOG_TTL = _SAMPLE_PREFIXES + """
+<https://datos.gob.es/catalogo> a dcat:Catalog ;
+    dct:title "Catalogo de Datos Abiertos"@es ;
+    dct:description "Catalogo nacional de datos abiertos de Espana"@es ;
+    dct:publisher <http://datos.gob.es/recurso/sector-publico/org/Organismo/E05068001> ;
+    dct:language <http://publications.europa.eu/resource/authority/language/SPA> ;
+    foaf:homepage <https://datos.gob.es> ;
+    dct:issued "2024-01-01"^^xsd:date ;
+    dcat:dataset <https://datos.gob.es/catalogo/dataset-aire> .
+
+<http://datos.gob.es/recurso/sector-publico/org/Organismo/E05068001> a foaf:Agent ;
+    foaf:name "Ministerio de Asuntos Economicos"@es .
+
+<https://datos.gob.es/catalogo/dataset-aire> a dcat:Dataset ;
+    dct:title "Calidad del aire"@es ;
+    dct:title "Air quality"@en ;
+    dct:description "Mediciones horarias de calidad del aire"@es ;
+    dcat:theme <http://publications.europa.eu/resource/authority/data-theme/ENVI> ;
+    dct:publisher <http://datos.gob.es/recurso/sector-publico/org/Organismo/E05068001> ;
+    dcat:distribution <https://datos.gob.es/catalogo/dist-aire-csv> ;
+    dct:issued "2024-02-01"^^xsd:date .
+
+<https://datos.gob.es/catalogo/dist-aire-csv> a dcat:Distribution ;
+    dcat:accessURL <https://datos.gob.es/api/aire.csv> ;
+    dct:format "text/csv" ;
+    dcat:byteSize "2048"^^xsd:nonNegativeInteger ;
+    dct:license <https://creativecommons.org/licenses/by/4.0/> .
+"""
+
+ES_HVD_SAMPLE_CATALOG_TTL = ES_SAMPLE_CATALOG_TTL + """
+<https://datos.gob.es/catalogo/dataset-aire>
+    dcatap:applicableLegislation <http://data.europa.eu/eli/reg_impl/2023/138/oj> ;
+    dcatap:hvdCategory <http://data.europa.eu/bna/c_164e0bf5> .
+"""
+
+NTI_SAMPLE_CATALOG_TTL = _SAMPLE_PREFIXES + """
+<http://datos.gob.es/catalogo> a dcat:Catalog ;
+    dct:title "Catalogo NTI-RISP"@es ;
+    dct:description "Catalogo conforme a la NTI de reutilizacion"@es ;
+    dct:publisher <http://datos.gob.es/recurso/sector-publico/org/Organismo/E00003901> ;
+    dcat:dataset <http://datos.gob.es/catalogo/dataset-empleo> .
+
+<http://datos.gob.es/catalogo/dataset-empleo> a dcat:Dataset ;
+    dct:title "Datos de empleo"@es ;
+    dct:description "Estadisticas de empleo publico"@es ;
+    dcat:theme <http://datos.gob.es/kos/sector-publico/sector/empleo> ;
+    dcat:distribution <http://datos.gob.es/catalogo/dist-empleo> .
+
+<http://datos.gob.es/catalogo/dist-empleo> a dcat:Distribution ;
+    dcat:accessURL <http://datos.gob.es/api/empleo.csv> ;
+    dct:format "text/csv" .
+"""
+
+SAMPLE_CATALOGS: dict[str, str] = {
+    "dcat_ap": ES_SAMPLE_CATALOG_TTL,
+    "dcat_ap_es": ES_SAMPLE_CATALOG_TTL,
+    "dcat_ap_es_hvd": ES_HVD_SAMPLE_CATALOG_TTL,
+    "nti_risp": NTI_SAMPLE_CATALOG_TTL,
+}
+
+# --- suite registry (profile → ordered file list, like mqa-config lists) ----
+
+SUITE_FILES: dict[str, list[tuple[str, str]]] = {
+    "dcat_ap": [
+        ("shacl_dcat_ap_shapes.ttl", DCAT_AP_SHAPES_TTL),
+        ("shacl_common_shapes.ttl", ES_COMMON_SHAPES_TTL),
+    ],
+    "dcat_ap_es": [
+        ("shacl_common_shapes.ttl", ES_COMMON_SHAPES_TTL),
+        ("shacl_catalog_shape.ttl", ES_CATALOG_SHAPE_TTL),
+        ("shacl_dataservice_shape.ttl", ES_DATASERVICE_SHAPE_TTL),
+        ("shacl_dataset_shape.ttl", ES_DATASET_SHAPE_TTL),
+        ("shacl_distribution_shape.ttl", ES_DISTRIBUTION_SHAPE_TTL),
+        ("shacl_mdr-vocabularies.shape.ttl", ES_MDR_VOCABULARIES_TTL),
+    ],
+    "dcat_ap_es_hvd": [
+        ("shacl_common_shapes.ttl", ES_COMMON_SHAPES_TTL),
+        ("shacl_catalog_shape.ttl", ES_CATALOG_SHAPE_TTL),
+        ("shacl_dataservice_shape.ttl", ES_DATASERVICE_SHAPE_TTL),
+        ("shacl_dataset_shape.ttl", ES_DATASET_SHAPE_TTL),
+        ("shacl_distribution_shape.ttl", ES_DISTRIBUTION_SHAPE_TTL),
+        ("shacl_mdr-vocabularies.shape.ttl", ES_MDR_VOCABULARIES_TTL),
+        ("shacl_hvd_shape.ttl", ES_HVD_SHAPE_TTL),
+    ],
+    "nti_risp": [
+        ("shacl_nti_risp_shapes.ttl", NTI_RISP_SHAPES_TTL),
+    ],
+}
+
+
+def suite_ttls(profile: str) -> list[str]:
+    """Ordered shape-file contents for a full profile suite."""
+    if profile not in SUITE_FILES:
+        raise KeyError(f"unknown suite {profile!r}; known: {sorted(SUITE_FILES)}")
+    return [ttl for _, ttl in SUITE_FILES[profile]]

@@ -106,20 +106,68 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
     return out
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def _pil_image_kernel():
+    """Real image kernel, importable only where Pillow exists: decode →
+    grayscale → resize to (dim, 1) → normalized pixel vector."""
+    import io
+
+    from PIL import Image  # noqa: F401  (raises ImportError in the sandbox)
+
+    def decode(payload: bytes, dim: int) -> list[float]:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+        return [px / 255.0 for px in img.getdata()]
+
+    return decode
+
+
+_REAL_KERNEL_FACTORIES = {
+    # video decode wants ffmpeg bindings; none importable in the sandbox, so
+    # image is the only real factory wired — the seam is the same for all
+    "image": _pil_image_kernel,
+}
+
+
+def select_kernel(kind: str, override=None):
+    """Kernel-selection seam: ``(name, fn)`` — an injected override, else
+    the real library kernel when its import succeeds, else the
+    deterministic fake.  Called on the EXECUTOR (inside the mapInPandas
+    closure) so library availability is evaluated where the work runs —
+    a cluster with Pillow installed picks the real kernel with no code
+    change; the sandbox falls back to the fake.
+    """
+    if override is not None:
+        return ("override", override)
+    factory = _REAL_KERNEL_FACTORIES.get(kind)
+    if factory is not None:
+        try:
+            return ("real", factory())
+        except ImportError:
+            pass
+    return ("fake", _fake_decode_features)
+
+
+def extract_features(media: DataFrame, dim: int = 16, kernel_override=None) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
-    One ``mapInPandas`` stage; batches stream through the (stubbed) kernel.
-    Output partitioning follows the input — no shuffle introduced.
+    One ``mapInPandas`` stage; batches stream through the kernel chosen by
+    ``select_kernel`` per media kind (real library if present, fake
+    otherwise).  Output partitioning follows the input — no shuffle
+    introduced, and kernel resolution happens once per task, not per row.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernels: dict[str, object] = {}
         for pdf in batches:
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind not in kernels:
+                    kernels[kind] = select_kernel(kind, kernel_override)[1]
+                feats.append(kernels[kind](bytes(payload), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": pdf["payload"].map(lambda p: _fake_decode_features(bytes(p), dim)),
+                    "feature": feats,
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                 }
             )

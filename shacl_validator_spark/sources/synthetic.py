@@ -153,6 +153,43 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "http://www.w3.org/2001/XMLSchema#date",
         ),
+        # ex:balcap — constant numeric cap; ex:acctbal sh:lessThan ex:balcap
+        # fires for customers at or above the cap
+        lit_triple(
+            EX + "balcap",
+            F.lit(5000),
+            "http://www.w3.org/2001/XMLSchema#integer",
+        ),
+        # ex:label — language-tagged literals: every customer has an @en
+        # label; % 4 == 0 carries a second distinct @en value → uniqueLang
+        # fires; % 6 == 0 carries a @de value → languageIn(en, es) fires
+        cust.select(
+            subj.alias("subject"),
+            F.lit(EX + "label").alias("predicate"),
+            F.col("c_name").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit("en").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            subj.alias("subject"),
+            F.lit(EX + "label").alias("predicate"),
+            F.concat(F.lit("dup "), F.col("c_name")).alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit("en").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        cust.filter(F.col("c_custkey") % 6 == 0).select(
+            subj.alias("subject"),
+            F.lit(EX + "label").alias("predicate"),
+            F.concat(F.lit("de "), F.col("c_name")).alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit("de").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
         # ex:homepage — IRI except % 7 == 0 which is a literal → nodeKind IRI
         cust.select(
             subj.alias("subject"),
@@ -219,6 +256,17 @@ def nation_dcat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _2 carries a dct:IMT format node (J3 resolution path)
         t(nation, DCAT + "distribution", F.format_string("d:%d_1", F.col("n_nationkey")), "iri"),
         t(nation, DCAT + "distribution", F.format_string("d:%d_2", F.col("n_nationkey")), "iri"),
+        # data services for even keys — exercises the third RdfStats count
+        # (reference ValidatorInput.tsx:163-186 counts dataServices too)
+        nation.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.format_string("svc:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(DCAT + "DataService").alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
     ]
 
     def dist(suffix: str, pred: str, value, otype="literal"):
@@ -280,6 +328,151 @@ def nation_dcat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def nation_dcat_es_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → a DCAT-AP-ES catalog (Catalog + Agents + 25 Datasets +
+    Distributions + DataServices) with engineered gaps against the FULL
+    vendored dcat_ap_es suite (shapes/suites.py).  Every gap is a pure
+    column predicate on ``n_nationkey`` so the DuckDB oracle can enumerate
+    the expected report exactly:
+
+    - k%5==0  → dataset missing dct:description        (MinCount, Violation)
+    - k%6==0  → second @es dct:title                   (UniqueLang, Violation)
+    - k%3==0  → dcat:theme outside the EU authority    (In, Warning)
+    - k%4==0  → publisher not a DIR3 organism IRI      (SPARQL rule, Violation)
+    - k%7==0  → dct:issued lexically invalid xsd:date  (Datatype, Warning)
+    - k%8==0  → distribution missing dcat:accessURL    (MinCount, Violation)
+    - k%9==0  → negative dcat:byteSize                 (MinInclusive, Warning)
+    - k%10==0 ∧ k%2==0 → service missing endpointURL   (MinCount, Violation)
+
+    Everything else satisfies the suite (typed publishers, language from
+    the EU table, valid dates, IRIs where required).
+    """
+    nation = load(spark, sf_dir, "nation")
+    DCAT = "http://www.w3.org/ns/dcat#"
+    DCT = "http://purl.org/dc/terms/"
+    FOAF = "http://xmlns.com/foaf/0.1/"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    CAT = "https://datos.gob.es/catalogo"
+    ORG_OK = "http://datos.gob.es/recurso/sector-publico/org/Organismo/E00000001"
+    ORG_BAD = "https://example.org/org/bad"
+    THEME_OK = "http://publications.europa.eu/resource/authority/data-theme/ECON"
+    THEME_BAD = "https://example.org/theme/bad"
+    LANG_SPA = "http://publications.europa.eu/resource/authority/language/SPA"
+    k = F.col("n_nationkey")
+    ds = F.format_string(CAT + "/dataset-%d", k)
+    dist = F.format_string(CAT + "/dist-%d", k)
+    svc = F.format_string(CAT + "/svc-%d", k)
+
+    def t(df, subj, pred, value, otype="literal", dtype=None, lang=None):
+        lang_col = F.lit(lang).cast("string") if lang is not None else F.lit(None).cast("string")
+        return df.select(
+            (subj if not isinstance(subj, str) else F.lit(subj)).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            (value if not isinstance(value, str) else F.lit(value))
+            .cast("string")
+            .alias("object_value"),
+            F.lit(otype).alias("object_type"),
+            F.lit(dtype).cast("string").alias("object_datatype"),
+            lang_col.alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        )
+
+    one = nation.limit(1)
+    parts = [
+        # catalog + agents (constants — emitted once via a 1-row slice)
+        t(one, CAT, RDF_TYPE, DCAT + "Catalog", "iri"),
+        t(one, CAT, DCT + "title", "Catalogo de Datos Abiertos", lang="es"),
+        t(one, CAT, DCT + "description", "Catalogo nacional de datos abiertos", lang="es"),
+        t(one, CAT, DCT + "publisher", ORG_OK, "iri"),
+        t(one, CAT, FOAF + "homepage", "https://datos.gob.es", "iri"),
+        t(one, CAT, DCT + "language", LANG_SPA, "iri"),
+        t(one, CAT, DCT + "issued", "2024-01-01", dtype=XSD + "date"),
+        t(one, ORG_OK, RDF_TYPE, FOAF + "Agent", "iri"),
+        t(one, ORG_OK, FOAF + "name", "Organismo DIR3"),
+        t(one, ORG_BAD, RDF_TYPE, FOAF + "Agent", "iri"),
+        t(one, ORG_BAD, FOAF + "name", "Organismo externo"),
+        # datasets
+        t(nation, CAT, DCAT + "dataset", ds, "iri"),
+        t(nation, ds, RDF_TYPE, DCAT + "Dataset", "iri"),
+        t(nation, ds, DCT + "title", F.col("n_name"), lang="es"),
+        t(
+            nation.filter(k % 6 == 0),
+            ds,
+            DCT + "title",
+            F.concat(F.lit("dup "), F.col("n_name")),
+            lang="es",
+        ),
+        t(
+            nation.filter(k % 5 != 0),
+            ds,
+            DCT + "description",
+            F.concat(F.lit("desc "), F.col("n_name")),
+            lang="es",
+        ),
+        t(
+            nation,
+            ds,
+            DCAT + "theme",
+            F.when(k % 3 == 0, THEME_BAD).otherwise(THEME_OK),
+            "iri",
+        ),
+        t(
+            nation,
+            ds,
+            DCT + "publisher",
+            F.when(k % 4 == 0, ORG_BAD).otherwise(ORG_OK),
+            "iri",
+        ),
+        t(nation, ds, DCAT + "distribution", dist, "iri"),
+        t(
+            nation,
+            ds,
+            DCT + "issued",
+            F.when(k % 7 == 0, "not-a-date").otherwise(F.lit("2024-01-15")),
+            dtype=XSD + "date",
+        ),
+        # distributions
+        t(nation, dist, RDF_TYPE, DCAT + "Distribution", "iri"),
+        t(
+            nation.filter(k % 8 != 0),
+            dist,
+            DCAT + "accessURL",
+            F.format_string("https://datos.gob.es/data/%d.csv", k),
+            "iri",
+        ),
+        t(
+            nation,
+            dist,
+            DCAT + "byteSize",
+            F.when(k % 9 == 0, F.lit(-5)).otherwise(k * 1000 + 100),
+            dtype=XSD + "nonNegativeInteger",
+        ),
+        t(nation, dist, DCT + "license", "https://creativecommons.org/licenses/by/4.0/", "iri"),
+        t(nation, dist, DCT + "format", "text/csv"),
+        # data services (even keys only)
+        t(nation.filter(k % 2 == 0), svc, RDF_TYPE, DCAT + "DataService", "iri"),
+        t(
+            nation.filter(k % 2 == 0),
+            svc,
+            DCT + "title",
+            F.concat(F.lit("svc "), F.col("n_name")),
+            lang="es",
+        ),
+        t(
+            nation.filter((k % 2 == 0) & (k % 10 != 0)),
+            svc,
+            DCAT + "endpointURL",
+            F.format_string("https://api.datos.gob.es/%d", k),
+            "iri",
+        ),
+        t(nation.filter(k % 2 == 0), svc, DCAT + "servesDataset", ds, "iri"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def customer_constraints() -> list[dict]:
     """Constraint rows matching ``customer_triples`` (compiled form, no
     Turtle needed — this is the plugin surface of SURVEY.md §2.10)."""
@@ -301,6 +494,14 @@ def customer_constraints() -> list[dict]:
             "class_iri": None,
             "min_inclusive": None,
             "max_inclusive": None,
+            "min_exclusive": None,
+            "max_exclusive": None,
+            "less_than": None,
+            "unique_lang": None,
+            "language_in": None,
+            "has_value": None,
+            "min_length": None,
+            "max_length": None,
             "severity": "Violation",
             "messages": None,
             "foaf_page": None,
@@ -346,5 +547,53 @@ def customer_constraints() -> list[dict]:
             path_steps=[[EX + "acctbal"]],
             max_inclusive=9000.0,
             severity="Info",
+        ),
+        row(
+            10,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            min_exclusive=0.0,
+            severity="Warning",
+        ),
+        row(
+            11,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            max_exclusive=9000.0,
+            severity="Info",
+        ),
+        row(
+            12,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            less_than=EX + "balcap",
+        ),
+        row(
+            13,
+            path=EX + "label",
+            path_steps=[[EX + "label"]],
+            unique_lang=True,
+            severity="Warning",
+        ),
+        row(
+            14,
+            path=EX + "label",
+            path_steps=[[EX + "label"]],
+            language_in=["en", "es"],
+            severity="Info",
+        ),
+        row(
+            15,
+            path=EX + "segment",
+            path_steps=[[EX + "segment"]],
+            max_length=8,
+            severity="Info",
+        ),
+        row(
+            16,
+            path=EX + "segment",
+            path_steps=[[EX + "segment"]],
+            has_value="BUILDING",
+            severity="Warning",
         ),
     ]

@@ -173,6 +173,30 @@ def test_link_mentions_small_path_matches_distributed(spark):
     assert small[("Zzyzx Quux Entity", "http://example.org/kg#Organization")].startswith("surface:")
 
 
+def _len_mod7_kernel(payload: bytes, dim: int) -> list[float]:
+    return [float(len(payload) % 7)] * dim
+
+
+def test_multimodal_kernel_selection_seam(spark):
+    """select_kernel picks the real library kernel when importable, the
+    deterministic fake otherwise (sandbox: Pillow absent → fake), and an
+    injected override flows through the Arrow stage end-to-end."""
+    from shacl_validator_spark.sources.multimodal import (
+        extract_features,
+        select_kernel,
+        synthesize_media,
+    )
+
+    assert select_kernel("image")[0] == "fake"  # no Pillow in the sandbox
+    assert select_kernel("audio")[0] == "fake"  # no real audio factory wired
+    assert select_kernel("image", override=_len_mod7_kernel)[0] == "override"
+
+    media = synthesize_media(spark, "/root/testdata/sf0.001").limit(6)
+    rows = extract_features(media, dim=4, kernel_override=_len_mod7_kernel).collect()
+    assert rows and all(len(r.feature) == 4 for r in rows)
+    assert all(abs(r.feature[0] - (r.n_bytes % 7)) < 1e-6 for r in rows)
+
+
 def test_multimodal_plumbing(spark, tmp_path):
     """Media schema, Arrow batch shapes, and stubbed kernels round-trip;
     decode is a deterministic fake (sandbox has no media libs) but the

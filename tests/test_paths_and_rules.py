@@ -119,6 +119,72 @@ d:ds3 a dcat:Dataset ; dct:publisher "just a string" .
     }
 
 
+def test_custom_rule_hvd_legislation(spark):
+    from shacl_validator_spark.shapes.custom_rules import hvd_legislation_rule
+
+    data = PREFIX + """
+@prefix dcat:   <http://www.w3.org/ns/dcat#> .
+@prefix dcatap: <http://data.europa.eu/r5r/> .
+d:ok a dcat:Dataset ;
+    dcatap:hvdCategory <http://data.europa.eu/bna/c_164e0bf5> ;
+    dcatap:applicableLegislation <http://data.europa.eu/eli/reg_impl/2023/138/oj> .
+d:bad a dcat:Dataset ;
+    dcatap:hvdCategory <http://data.europa.eu/bna/c_164e0bf5> .
+"""
+    rule = hvd_legislation_rule()
+    rep = validate_report(
+        spark, triples_from_turtle(spark, data), compile_shapes(SEQ_SHAPE),
+        custom_rules=[rule],
+    )
+    hits = [r for r in rep.results.collect() if r.sourceConstraintComponent == SPARQL_COMPONENT]
+    assert len(hits) == 1
+    assert hits[0].focusNode == "http://example.org/d#bad"
+    assert hits[0].sourceShape == rule.rule_iri
+
+
+def test_custom_rule_duplicate_identifier(spark):
+    from shacl_validator_spark.shapes.custom_rules import duplicate_identifier_rule
+
+    data = PREFIX + """
+@prefix dcat: <http://www.w3.org/ns/dcat#> .
+@prefix dct:  <http://purl.org/dc/terms/> .
+d:a a dcat:Dataset ; dct:identifier "ds-001" .
+d:b a dcat:Dataset ; dct:identifier "ds-001" .
+d:c a dcat:Dataset ; dct:identifier "ds-002" .
+"""
+    rule = duplicate_identifier_rule()
+    rep = validate_report(
+        spark, triples_from_turtle(spark, data), compile_shapes(SEQ_SHAPE),
+        custom_rules=[rule],
+    )
+    hits = [r for r in rep.results.collect() if r.sourceConstraintComponent == SPARQL_COMPONENT]
+    assert {h.focusNode for h in hits} == {
+        "http://example.org/d#a",
+        "http://example.org/d#b",
+    }
+    assert all(h.value == "ds-001" and h.sourceShape == rule.rule_iri for h in hits)
+
+
+def test_custom_rule_temporal_order(spark):
+    from shacl_validator_spark.shapes.custom_rules import temporal_order_rule
+
+    data = PREFIX + """
+@prefix dcat: <http://www.w3.org/ns/dcat#> .
+d:ok  dcat:startDate "2024-01-01" ; dcat:endDate "2024-12-31" .
+d:bad dcat:startDate "2024-12-31" ; dcat:endDate "2024-01-01" .
+"""
+    rule = temporal_order_rule()
+    rep = validate_report(
+        spark, triples_from_turtle(spark, data), compile_shapes(SEQ_SHAPE),
+        custom_rules=[rule],
+    )
+    hits = [r for r in rep.results.collect() if r.sourceConstraintComponent == SPARQL_COMPONENT]
+    assert len(hits) == 1
+    assert hits[0].focusNode == "http://example.org/d#bad"
+    assert hits[0].resultSeverity == "Warning"
+    assert hits[0].sourceShape == rule.rule_iri
+
+
 def test_foaf_page_enrichment(spark):
     from shacl_validator_spark.shapes import profile_shapes_ttl
 

@@ -65,6 +65,24 @@ def test_pipeline_resume_is_idempotent(spark, tmp_path):
     assert res1.merged == total
 
 
+def test_pipeline_parallel_groups_matches_sequential(spark, tmp_path):
+    """parallel_groups drives groups through a thread pool with a
+    serialized MERGE commit — outputs must be set-identical to the
+    sequential loop."""
+    pages = synthesize_pages(spark, N)
+    out_s = str(tmp_path / "seq")
+    out_p = str(tmp_path / "par")
+    rs = run_pipeline(spark, pages, out_s, n_groups=4)
+    rp = run_pipeline(spark, pages, out_p, n_groups=4, parallel_groups=4)
+    assert rp.merged == rs.merged
+    assert rp.triples_in == rs.triples_in
+    assert rp.violations == rs.violations
+    cols = ["subject", "predicate", "object_value", "graph"]
+    a = spark.read.parquet(f"{out_s}/triples").select(*cols)
+    b = spark.read.parquet(f"{out_p}/triples").select(*cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_merge_is_exactly_once(spark, tmp_path):
     table = str(tmp_path / "t")
     batch = triples_from_turtle(

@@ -156,6 +156,103 @@ def test_validate_is_pure_dataframe(spark, shapes):
     assert "ArrowEvalPython" not in plan
 
 
+EXT_SHAPES_TTL = """
+@prefix sh:  <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex:  <http://example.org/data#> .
+
+ex:ThingShape a sh:NodeShape ;
+    sh:targetClass ex:Thing ;
+    sh:property [ sh:path ex:score ; sh:minExclusive 0 ; sh:severity sh:Violation ] ;
+    sh:property [ sh:path ex:score ; sh:maxExclusive 100 ; sh:severity sh:Violation ] ;
+    sh:property [ sh:path ex:score ; sh:lessThan ex:cap ; sh:severity sh:Violation ] ;
+    sh:property [ sh:path ex:label ; sh:uniqueLang true ; sh:severity sh:Warning ] ;
+    sh:property [ sh:path ex:label ; sh:languageIn ( "en" "es" ) ; sh:severity sh:Info ] ;
+    sh:property [ sh:path ex:code ; sh:minLength 3 ; sh:maxLength 5 ; sh:severity sh:Violation ] ;
+    sh:property [ sh:path ex:kind ; sh:hasValue "good" ; sh:severity sh:Violation ] .
+"""
+
+EXT_OK = """
+@prefix ex:  <http://example.org/data#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:t1 a ex:Thing ;
+    ex:score "50"^^xsd:integer ;
+    ex:cap "60"^^xsd:integer ;
+    ex:label "hello"@en , "hola"@es ;
+    ex:code "abcd" ;
+    ex:kind "good" .
+"""
+
+EXT_BAD = """
+@prefix ex:  <http://example.org/data#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:t2 a ex:Thing ;
+    ex:score "0"^^xsd:integer ;
+    ex:cap "0"^^xsd:integer ;
+    ex:label "one"@en , "two"@en , "eins"@de ;
+    ex:code "toolongcode" ;
+    ex:kind "bad" .
+"""
+
+
+def test_extended_components_conforming(spark):
+    ext = compile_shapes(EXT_SHAPES_TTL)
+    report, rows = run(spark, ext, EXT_OK)
+    assert report.conforms, [r.asDict() for r in rows]
+    assert rows == []
+
+
+def test_extended_components_violating(spark):
+    """minExclusive (0 <= 0), lessThan (0 >= cap 0), uniqueLang (two @en),
+    languageIn (@de), maxLength (11 > 5), hasValue (no 'good') all fire on
+    the engineered fixture; maxExclusive does not (0 < 100)."""
+    ext = compile_shapes(EXT_SHAPES_TTL)
+    report, rows = run(spark, ext, EXT_BAD)
+    assert not report.conforms
+    comps = {r.sourceConstraintComponent.rsplit("#", 1)[-1] for r in rows}
+    assert comps == {
+        "MinExclusiveConstraintComponent",
+        "LessThanConstraintComponent",
+        "UniqueLangConstraintComponent",
+        "LanguageInConstraintComponent",
+        "MaxLengthConstraintComponent",
+        "HasValueConstraintComponent",
+    }
+    ul = [r for r in rows if "UniqueLang" in r.sourceConstraintComponent]
+    assert len(ul) == 1 and ul[0].value == "en" and ul[0].resultSeverity == "Warning"
+    li = [r for r in rows if "LanguageIn" in r.sourceConstraintComponent]
+    assert len(li) == 1 and li[0].value == "eins"
+    hv = [r for r in rows if "HasValue" in r.sourceConstraintComponent]
+    assert len(hv) == 1 and hv[0].focusNode.endswith("t2") and hv[0].value is None
+
+
+def test_broadcast_gate_shuffle_path(spark, shapes):
+    """Above the broadcast-row gate the validator must plan hint-free joins
+    for the data-derived relations (targets, typed_set): no forced
+    BroadcastExchange that would OOM at 10^9+ focus nodes.  broadcast_rows=0
+    forces that path; results must match the broadcast plan exactly."""
+    triples = triples_from_turtle(spark, FX.PUBLISHER_UNTYPED, graph="test://fixture")
+    small_df = validate(spark, triples, shapes, broadcast_rows=10**9)
+    big_df = validate(spark, triples, shapes, broadcast_rows=0)
+    opt_small = small_df._jdf.queryExecution().optimizedPlan().toString()
+    opt_big = big_df._jdf.queryExecution().optimizedPlan().toString()
+    # The KB-sized facet table stays broadcast on BOTH paths (by design);
+    # the gate governs the DATA-DERIVED joins.  The targets semi-join is the
+    # marker: hinted broadcast on the small path, hint-free above the gate.
+    semi_small = [ln for ln in opt_small.splitlines() if "leftsemi" in ln.lower()]
+    semi_big = [ln for ln in opt_big.splitlines() if "leftsemi" in ln.lower()]
+    assert semi_small and any("broadcast" in ln.lower() for ln in semi_small)
+    assert semi_big and all("broadcast" not in ln.lower() for ln in semi_big)
+    # and the gate strictly reduces the number of broadcast hints overall
+    assert opt_big.lower().count("strategy=broadcast") < opt_small.lower().count(
+        "strategy=broadcast"
+    )
+    key = lambda r: (  # noqa: E731
+        r.focusNode, r.resultPath, r.value, r.resultSeverity, r.sourceConstraintComponent
+    )
+    assert sorted(map(key, small_df.collect())) == sorted(map(key, big_df.collect()))
+
+
 def test_many_constraints_literal_maps(spark):
     """The literal-embedded constraint maps must handle realistically large
     profiles (DCAT-AP-scale: hundreds of property shapes) without blowing
