@@ -493,6 +493,34 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_ivf_exact(spark, sf_dir):
+    """IVF probing with nprobe == nlist — every cell probed, so the result
+    must equal exact brute force (full oracle on the approximate path's
+    machinery: codebook, assignment, probing, scoring)."""
+    from shacl_validator_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 3), queries, k=5, nlist=4, nprobe=4, iters=1
+    ).select("query_id", "vec_id", "cos", "rank")
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF with nprobe < nlist — the pruned scale path; rows-only check."""
+    from shacl_validator_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 3), queries, k=5, nlist=8, nprobe=2, iters=2
+    )
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -741,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint_distinct": q_fingerprint_distinct,
         "embedding_topk": q_embedding_topk,
+        "embedding_ivf_exact": q_embedding_ivf_exact,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "discovery_datasets": q_discovery_datasets,
         "discovery_search": q_discovery_search,
@@ -1277,6 +1307,9 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= 5
     """
+
+    # nprobe == nlist probes every cell → identical to exact brute force
+    sql["embedding_ivf_exact"] = sql["embedding_topk"]
 
     sql["discovery_datasets"] = """
         SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS id,

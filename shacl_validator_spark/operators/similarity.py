@@ -142,6 +142,117 @@ def _hyperplane_sig(vec, n_planes: int, dim: int) -> F.Column:
     return sig
 
 
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_lit(cents: list[list[float]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse quantizer cells + nprobe probing.
+
+    The scale path complementing ``lsh_topk``: a small k-means codebook
+    (``nlist`` centroids, ``iters`` Lloyd steps as DataFrame aggregations;
+    deterministic init = rows with smallest xxhash64(id)) partitions the
+    corpus into cells; each query scores only its ``nprobe`` nearest cells.
+    At 10^12 rows the vectors table is written partitioned by ``cell`` so a
+    probe is a partition-pruned scan — compared pairs drop by
+    ~nlist/nprobe.  ``nprobe == nlist`` degenerates to exact brute force
+    (the property the tests pin).
+
+    Centroids are driver-side literals (nlist × dim floats — KBs); the
+    assignment and probing are pure column expressions, no MLlib, no UDF.
+    """
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    seeds = [
+        list(r["_v"])
+        for r in v.select("_v", F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(nlist)
+        .collect()
+    ]
+    if not seeds:
+        return brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
+    nlist = len(seeds)
+    dim = len(seeds[0])
+
+    def cell_of(vec, cents_col):
+        dists = F.transform(cents_col, lambda c: _l2sq(vec, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(max(iters, 0)):
+        cents_col = _centroid_lit(seeds)
+        sums = (
+            v.withColumn("cell", cell_of(F.col("_v"), cents_col))
+            .select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_seeds = [list(c) for c in seeds]  # empty cells keep their seed
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_seeds[cell] = [dims[i] for i in range(dim)]
+        seeds = new_seeds
+
+    cents_col = _centroid_lit(seeds)
+    assigned = v.withColumn("cell", cell_of(F.col("_v"), cents_col))
+    # query → its nprobe nearest cells, exploded (queries are small)
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nlist - 1)),
+                    lambda j: F.struct(
+                        _l2sq(F.col("_qvec"), F.element_at(cents_col, j + 1)).alias("d"),
+                        j.cast("int").alias("j"),
+                    ),
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        1,
+        min(nprobe, nlist),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qvec")
+        )
+        .withColumn("cell", F.explode(probe_cells))
+    )
+    scored = assigned.join(q, "cell").withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("_v"), F.col("_qvec")) / (_norm(F.col("_v")) * _norm(F.col("_qvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col), "cos", "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

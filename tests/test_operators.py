@@ -173,6 +173,47 @@ def test_link_mentions_small_path_matches_distributed(spark):
     assert small[("Zzyzx Quux Entity", "http://example.org/kg#Organization")].startswith("surface:")
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == nlist probes every cell, so IVF must reproduce exact
+    brute-force top-k bit-for-bit — pins codebook assignment + probing +
+    scoring regardless of k-means quality."""
+    from shacl_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 3)
+    bf = {tuple(r) for r in brute_force_topk(base, queries, k=5).collect()}
+    ivf = {
+        tuple(r)
+        for r in ivf_topk(base, queries, k=5, nlist=4, nprobe=4, iters=1).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_pruned_probe_scores_correctly(spark):
+    """With nprobe < nlist the result is a subset of the scored universe:
+    ≤ k rows per query and every returned cosine matches the exact score."""
+    from shacl_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 3)
+    rows = ivf_topk(base, queries, k=5, nlist=8, nprobe=2, iters=2).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert per_q and all(len(v) <= 5 for v in per_q.values())
+    exact = {
+        (r.query_id, r.vec_id): r.cos
+        for r in brute_force_topk(base, queries, k=10**6).collect()
+    }
+    assert all(abs(exact[(r.query_id, r.vec_id)] - r.cos) < 1e-9 for r in rows)
+
+
 def _len_mod7_kernel(payload: bytes, dim: int) -> list[float]:
     return [float(len(payload) % 7)] * dim
 
