@@ -197,10 +197,41 @@ def triples_from_jsonld(
     return df.dropDuplicates()
 
 
+# RDF serialization mime aliasing — the driver-side twin of
+# operators.discovery.normalize_rdf_mime (reference RDFService.ts:26-40)
+_MIME_ALIASES = {
+    "turtle": "text/turtle",
+    "text/turtle": "text/turtle",
+    "application/rdf+xml": "application/rdf+xml",
+    "rdf/xml": "application/rdf+xml",
+    "rdfxml": "application/rdf+xml",
+    "application/xml": "application/rdf+xml",
+    "application/ld+json": "application/ld+json",
+    "jsonld": "application/ld+json",
+    "application/json": "application/ld+json",
+    "application/n-triples": "application/n-triples",
+    "application/ntriples": "application/n-triples",
+    "n-triples": "application/n-triples",
+}
+
+
+def normalize_mime(fmt: str | None) -> str:
+    """Serialization-format alias normalization (RDFService.ts:26-40):
+    null → text/turtle; alias groups collapse; unknown values pass
+    through."""
+    if not fmt:
+        return "text/turtle"
+    return _MIME_ALIASES.get(fmt.lower().strip(), fmt)
+
+
 def detect_format(content: str, url: str | None = None, content_type: str | None = None) -> str:
     """Format sniffing by content-type, URL extension, then content prefix —
-    reference src/services/RDFService.ts:125-157 (S4)."""
+    reference src/services/RDFService.ts:125-157 (S4).  The content-type is
+    alias-normalized first (``rdf/xml``, ``jsonld``-style values resolve)."""
     ct = (content_type or "").lower()
+    bare = ct.split(";", 1)[0].strip()
+    if bare in _MIME_ALIASES:
+        return _MIME_ALIASES[bare]
     for mime in ("text/turtle", "application/rdf+xml", "application/ld+json",
                  "application/n-triples", "application/n-quads"):
         if mime in ct:

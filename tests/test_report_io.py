@@ -98,3 +98,20 @@ def test_detect_format():
     assert detect_format('<?xml version="1.0"?><rdf:RDF>') == "application/rdf+xml"
     assert detect_format('{"@context": {}}') == "application/ld+json"
     assert detect_format("@prefix ex: <http://e/> .") == "text/turtle"
+
+
+def test_mime_alias_normalization():
+    """RDF mime alias groups (RDFService.ts:26-40), driver-side and in the
+    sniffer's content-type path."""
+    from shacl_validator_spark.sources.rdf_io import normalize_mime
+
+    assert normalize_mime(None) == "text/turtle"
+    assert normalize_mime("Turtle") == "text/turtle"
+    assert normalize_mime("rdf/xml") == "application/rdf+xml"
+    assert normalize_mime("rdfxml") == "application/rdf+xml"
+    assert normalize_mime("jsonld") == "application/ld+json"
+    assert normalize_mime("application/json") == "application/ld+json"
+    assert normalize_mime("n-triples") == "application/n-triples"
+    assert normalize_mime("text/csv") == "text/csv"  # pass-through
+    assert detect_format("", content_type="rdf/xml") == "application/rdf+xml"
+    assert detect_format("", content_type="jsonld; charset=utf-8") == "application/ld+json"
