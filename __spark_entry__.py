@@ -264,6 +264,10 @@ def q_shacl_has_value(spark, sf_dir):
     return _violations_of(spark, sf_dir, "HasValue")
 
 
+def q_shacl_or_datatype(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Or")
+
+
 def q_shacl_report_summary(spark, sf_dir):
     v = validate(
         spark, _cust_triples(spark, sf_dir), customer_constraints(), broadcast_rows=_SMALL
@@ -793,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_language_in": q_shacl_language_in,
         "shacl_max_length": q_shacl_max_length,
         "shacl_has_value": q_shacl_has_value,
+        "shacl_or_datatype": q_shacl_or_datatype,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
         "tpch_q1": q_tpch_q1,
@@ -1076,6 +1081,16 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_mktsegment <> 'BUILDING'
     """
 
+    sql["shacl_or_datatype"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:regdate' AS resultPath,
+               'not-a-date' AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#OrConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 3 = 0
+    """
+
     sql["shacl_report_summary"] = """
         WITH v AS (
           SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS component,
@@ -1125,6 +1140,9 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#HasValueConstraintComponent', 'Warning'
           FROM customer WHERE c_mktsegment <> 'BUILDING'
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#OrConstraintComponent', 'Info'
+          FROM customer WHERE c_custkey % 3 = 0
         )
         SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
     """
@@ -1147,7 +1165,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'http://www.w3.org/ns/shacl#SPARQLConstraintComponent', 'Violation',
                'http://purl.org/dc/terms/publisher', COUNT(*) FROM g WHERE k % 4 = 0
         UNION ALL
-        SELECT 'http://www.w3.org/ns/shacl#DatatypeConstraintComponent', 'Warning',
+        -- issued is sh:or(date | dateTime) in the ES suite → lexically
+        -- invalid values report sh:OrConstraintComponent
+        SELECT 'http://www.w3.org/ns/shacl#OrConstraintComponent', 'Warning',
                'http://purl.org/dc/terms/issued', COUNT(*) FROM g WHERE k % 7 = 0
         UNION ALL
         SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent', 'Violation',

@@ -113,6 +113,10 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("min_count", T.IntegerType(), True),
         T.StructField("max_count", T.IntegerType(), True),
         T.StructField("datatype", T.StringType(), True),
+        # sh:or of pure-datatype branches (the common DCAT-AP
+        # date-or-dateTime pattern) compiles to a datatype alternative list;
+        # violations report sh:OrConstraintComponent
+        T.StructField("datatype_in", T.ArrayType(T.StringType()), True),
         T.StructField("node_kind", T.StringType(), True),  # IRI|Literal|BlankNode
         T.StructField("pattern", T.StringType(), True),
         T.StructField("flags", T.StringType(), True),

@@ -62,6 +62,7 @@ FACET_FIELDS = [
     "min_count",
     "max_count",
     "datatype",
+    "datatype_in",
     "node_kind",
     "pattern",
     "in_list",
@@ -182,12 +183,15 @@ def _effective_datatype() -> F.Column:
     )
 
 
-def _lexically_valid() -> F.Column:
+def _lexically_valid(dt: F.Column | None = None) -> F.Column:
     """Lexical-form validity for common XSD types: the try_cast-null-out
     trick (SURVEY.md §2.8 DatatypeConstraintComponent).  ``try_*`` forms are
     required — Spark 4 runs ANSI mode by default, where a plain cast of an
-    invalid lexical form throws instead of yielding NULL."""
-    dt = F.col("datatype")
+    invalid lexical form throws instead of yielding NULL.  ``dt`` defaults
+    to the constraint's single sh:datatype facet; the sh:or path passes the
+    branch datatype (a lambda variable) instead."""
+    if dt is None:
+        dt = F.col("datatype")
     v = F.col("object_value")
     return (
         F.when(
@@ -457,6 +461,20 @@ def validate(
                 | ~_lexically_valid()
             ),
             "Datatype",
+        ),
+        # sh:or of datatype branches: conforming iff the value is a literal
+        # whose effective datatype matches SOME branch with a valid lexical
+        # form; reported as sh:OrConstraintComponent
+        _hit(
+            F.col("datatype_in").isNotNull()
+            & ~(
+                (F.col("object_type") == "literal")
+                & F.exists(
+                    F.col("datatype_in"),
+                    lambda d: (_effective_datatype() == d) & _lexically_valid(d),
+                )
+            ),
+            "Or",
         ),
         _hit(
             F.col("pattern").isNotNull()

@@ -455,6 +455,18 @@ def compile_shapes(ttl: str) -> list[dict]:
             dt_t = g.first(prop, SH + "datatype")
             nk_t = g.first(prop, SH + "nodeKind")
             cls_t = g.first(prop, SH + "class")
+            # sh:or of pure-datatype branches → datatype alternative list
+            # (the DCAT-AP date-or-dateTime idiom); other sh:or forms are
+            # out of compiled scope
+            or_t = g.first(prop, SH + "or")
+            datatype_in = None
+            if or_t is not None:
+                branch_dts = [
+                    g.first(b.value, SH + "datatype")
+                    for b in g.rdf_list(or_t.value)
+                ]
+                if branch_dts and all(d is not None for d in branch_dts):
+                    datatype_in = [d.value for d in branch_dts]
             lt_t = g.first(prop, SH + "lessThan")
             ul_t = g.first(prop, SH + "uniqueLang")
             li_t = g.first(prop, SH + "languageIn")
@@ -474,6 +486,7 @@ def compile_shapes(ttl: str) -> list[dict]:
                             "min_count": _int_of(g.first(prop, SH + "minCount")),
                             "max_count": _int_of(g.first(prop, SH + "maxCount")),
                             "datatype": dt_t.value if dt_t is not None else None,
+                            "datatype_in": datatype_in,
                             "node_kind": (
                                 nk_t.value.rsplit("#", 1)[-1] if nk_t is not None else None
                             ),

@@ -179,13 +179,13 @@ es:DatasetShape a sh:NodeShape ;
     sh:property [
         sh:path dct:issued ;
         sh:maxCount 1 ;
-        sh:datatype xsd:date ;
+        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ] ) ;
         sh:severity sh:Warning ;
     ] ;
     sh:property [
         sh:path dct:modified ;
         sh:maxCount 1 ;
-        sh:datatype xsd:date ;
+        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ] ) ;
         sh:severity sh:Warning ;
     ] ;
     sh:property [

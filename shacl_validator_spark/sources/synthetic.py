@@ -492,6 +492,7 @@ def customer_constraints() -> list[dict]:
             "flags": None,
             "in_list": None,
             "class_iri": None,
+            "datatype_in": None,
             "min_inclusive": None,
             "max_inclusive": None,
             "min_exclusive": None,
@@ -595,5 +596,17 @@ def customer_constraints() -> list[dict]:
             path_steps=[[EX + "segment"]],
             has_value="BUILDING",
             severity="Warning",
+        ),
+        # sh:or(date | dateTime) — fires where the lexical form satisfies
+        # neither branch (the same %3 rows the plain datatype rule catches)
+        row(
+            17,
+            path=EX + "regdate",
+            path_steps=[[EX + "regdate"]],
+            datatype_in=[
+                "http://www.w3.org/2001/XMLSchema#date",
+                "http://www.w3.org/2001/XMLSchema#dateTime",
+            ],
+            severity="Info",
         ),
     ]

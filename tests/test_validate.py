@@ -169,7 +169,10 @@ ex:ThingShape a sh:NodeShape ;
     sh:property [ sh:path ex:label ; sh:uniqueLang true ; sh:severity sh:Warning ] ;
     sh:property [ sh:path ex:label ; sh:languageIn ( "en" "es" ) ; sh:severity sh:Info ] ;
     sh:property [ sh:path ex:code ; sh:minLength 3 ; sh:maxLength 5 ; sh:severity sh:Violation ] ;
-    sh:property [ sh:path ex:kind ; sh:hasValue "good" ; sh:severity sh:Violation ] .
+    sh:property [ sh:path ex:kind ; sh:hasValue "good" ; sh:severity sh:Violation ] ;
+    sh:property [ sh:path ex:when ;
+        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ] ) ;
+        sh:severity sh:Violation ] .
 """
 
 EXT_OK = """
@@ -180,7 +183,8 @@ ex:t1 a ex:Thing ;
     ex:cap "60"^^xsd:integer ;
     ex:label "hello"@en , "hola"@es ;
     ex:code "abcd" ;
-    ex:kind "good" .
+    ex:kind "good" ;
+    ex:when "2024-05-01"^^xsd:date , "2024-05-01T10:00:00"^^xsd:dateTime .
 """
 
 EXT_BAD = """
@@ -191,7 +195,8 @@ ex:t2 a ex:Thing ;
     ex:cap "0"^^xsd:integer ;
     ex:label "one"@en , "two"@en , "eins"@de ;
     ex:code "toolongcode" ;
-    ex:kind "bad" .
+    ex:kind "bad" ;
+    ex:when "sometime"^^xsd:date .
 """
 
 
@@ -211,6 +216,7 @@ def test_extended_components_violating(spark):
     assert not report.conforms
     comps = {r.sourceConstraintComponent.rsplit("#", 1)[-1] for r in rows}
     assert comps == {
+        "OrConstraintComponent",
         "MinExclusiveConstraintComponent",
         "LessThanConstraintComponent",
         "UniqueLangConstraintComponent",
