@@ -83,6 +83,28 @@ def main() -> None:
         lambda t: "HashAggregate" in t,
         "partial+final hash aggregation",
     )
+    audit(
+        "shacl_dcat_ap_es_report",
+        lambda t: "BroadcastHashJoin" in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "full-suite validation: broadcast joins, no Python in plan",
+    )
+    audit(
+        "minhash_dup_pairs",
+        lambda t: "InMemoryTableScan" in t and "BatchEvalPython" not in t,
+        "minhash: signature+shingle-set relation materialized once and reused",
+    )
+    audit(
+        "embedding_ivf_topk",
+        lambda t: ("BroadcastHashJoin" in t or "SortMergeJoin" in t)
+        and "BatchEvalPython" not in t and "ArrowEvalPython" not in t,
+        "IVF probe: cell equi-join, no Python in plan",
+    )
+    audit(
+        "tpch_q3",
+        lambda t: "TakeOrderedAndProject" in t,
+        "Q3 top-10 planned as TakeOrderedAndProject",
+    )
 
     n_fail = sum(1 for _, _, ok in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
