@@ -504,6 +504,16 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Corpus-hygiene gate: exact-dedup keepers ∩ quality floor ∩ language
+    allowlist in one job (the standard pre-training filter chain)."""
+    from shacl_validator_spark.operators.dedup import clean_corpus
+
+    return clean_corpus(
+        _docs_doubled(spark, sf_dir), min_quality=0.5, langs=["en", "es", "de", "fr"]
+    ).select("doc_id", "content_hash", "quality", "pred_lang")
+
+
 def q_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.groupBy("lang").agg(
@@ -816,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "clean_corpus": q_clean_corpus,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
         "language_id": q_language_id,
@@ -1341,6 +1352,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(i * 1000 AS BIGINT) AS ts_ms
         FROM documents, (SELECT UNNEST(generate_series(0, 9)) AS i)
         WHERE doc_id % 3 = 2 AND i <= doc_id % 10
+    """
+
+    sql["clean_corpus"] = f"""
+        WITH d AS (SELECT doc_id, text FROM {_DOCS_DOUBLED_SQL} dd),
+        keep AS (
+          SELECT doc_id, text, md5({_NORM_TEXT}) AS content_hash,
+                 ROW_NUMBER() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+          FROM d
+        ),
+        scored AS (
+          SELECT doc_id, content_hash,
+            ROUND(
+              (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25 +
+              (CASE WHEN length(text) > 0 THEN
+                 1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) * 5, 1.0)
+               ELSE 0.0 END) * 0.25 +
+              (CASE WHEN len(regexp_extract_all(' ' || lower(text) || ' ',
+                 '\\s(the|and|of|to|is|in|el|la|de|que|der|die|und)\\s')) > 0 THEN 1.0 ELSE 0.0 END) * 0.25 +
+              (CASE WHEN len(regexp_extract_all(text, {_TOKEN_RE_SQL})) > 0
+                     AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, {_TOKEN_RE_SQL})) BETWEEN 3 AND 12
+                    THEN 1.0 ELSE 0.0 END) * 0.25
+            , 4) AS quality,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sthe\\s|\\sand\\s|\\sof\\s|\\sto\\s|\\sis\\s|\\sin\\s')) AS h_en,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sel\\s|\\sla\\s|\\sde\\s|\\sque\\s|\\slos\\s|\\ses\\s')) AS h_es,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sder\\s|\\sdie\\s|\\sund\\s|\\sdas\\s|\\sist\\s|\\sein\\s')) AS h_de,
+            len(regexp_extract_all(' ' || lower(text) || ' ', '\\sle\\s|\\sla\\s|\\set\\s|\\sles\\s|\\sdes\\s|\\sest\\s')) AS h_fr
+          FROM keep WHERE rn = 1
+        )
+        SELECT doc_id, content_hash, quality,
+               CASE WHEN GREATEST(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) THEN 'fr'
+                    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
+                    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
+                    ELSE 'de' END AS pred_lang
+        FROM scored
+        WHERE quality >= 0.5
+          AND (CASE WHEN GREATEST(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) THEN 'fr'
+                    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
+                    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
+                    ELSE 'de' END) IN ('en', 'es', 'de', 'fr')
     """
 
     sql["token_stats"] = f"""

@@ -82,15 +82,19 @@ def run_bench(
     qs = entrymod.queries()
     headline = [
         "shacl_report_summary",
+        "shacl_dcat_ap_es_report",
         "severity_summary",
         "grouped_findings",
         "tpch_q1",
+        "tpch_q3",
         "revenue_by_nation",
         "top_parts",
         "user_event_rank",
         "sessionize",
         "dedup_exact",
         "minhash_dup_pairs",
+        "clean_corpus",
+        "embedding_ivf_topk",
         "token_stats",
         "language_id",
         "embedding_topk",

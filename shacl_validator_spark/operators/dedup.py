@@ -230,3 +230,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-hygiene gate for training-data pipelines: exact-dedup keepers
+    (min id per normalized content) ∩ quality floor ∩ language allowlist —
+    the standard pre-training filter chain as ONE job.
+
+    Plan shape: a window over the content-hash partition marks keepers (one
+    shuffle on the hash — equivalent work to the dedup groupBy, but keeps
+    every surviving row's columns without a self-join), and the
+    quality/language predicates are codegen'd column expressions evaluated
+    in the same stage.  Returns the surviving rows plus the audit columns
+    (content_hash, quality, pred_lang).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import language_id, quality_score
+
+    h = F.md5(_normalized(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    out = (
+        docs.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
+        .withColumn("pred_lang", language_id(F.col(text_col)))
+        .filter(F.col("quality") >= min_quality)
+    )
+    if langs:
+        out = out.filter(F.col("pred_lang").isin(langs))
+    return out
