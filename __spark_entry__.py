@@ -131,7 +131,13 @@ def _cust_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _SCRATCH_DIR is None:
             _SCRATCH_DIR = tempfile.mkdtemp(prefix="kg_synth_")
             atexit.register(shutil.rmtree, _SCRATCH_DIR, ignore_errors=True)
-        path = f"{_SCRATCH_DIR}/cust_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+        # key the path by the FULL sf_dir (hashed): two data dirs sharing a
+        # basename must not overwrite each other's scratch table while the
+        # first DataFrame still reads it
+        import hashlib
+
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        path = f"{_SCRATCH_DIR}/cust_{tag}"
         customer_triples(spark, sf_dir).write.mode("overwrite").parquet(path)
         df = spark.read.schema(TRIPLE_SCHEMA).parquet(path)
         _CUST_CACHE[sf_dir] = df

@@ -130,7 +130,12 @@ def minhash_lsh_pairs(
     # signatures + hashed shingle sets from ONE tokenize pass, materialized
     # so banding and both verify sides read it instead of re-deriving the
     # corpus (at cluster scale this persist becomes a scratch table, the
-    # same pattern the pipeline uses for its typed stream)
+    # same pattern the pipeline uses for its typed stream).  Lifetime note:
+    # the cache entry outlives this call (the returned DataFrame is lazy),
+    # but Spark's cache manager keys on the canonicalized plan, so repeated
+    # calls over the same corpus REUSE one entry rather than stacking; one
+    # entry persists per distinct (corpus, params) until
+    # spark.catalog.clearCache() or session end.
     per_doc = _minhash_agg(docs, id_col, text_col, num_perm, shingle_n).persist()
     sig = F.array(*[f"h{j}" for j in range(num_perm)])
     banded = per_doc.select(

@@ -265,27 +265,20 @@ def simple_format(format_col, media_col, url_col) -> F.Column:
 
 
 def normalize_rdf_mime(col) -> F.Column:
-    """RDF serialization mime aliasing (RDFService.ts:26-40): turtle /
-    rdf+xml / json-ld / n-triples alias groups; null → text/turtle;
-    unrecognized values pass through."""
+    """RDF serialization mime aliasing (RDFService.ts:26-40): the column
+    form of ``sources.rdf_io.normalize_mime``, generated from the SAME
+    alias table so driver-side and column-side normalization cannot
+    drift; null → text/turtle; unrecognized values pass through."""
+    from ..sources.rdf_io import _MIME_ALIASES
+
     lo = F.lower(col)
-    return (
-        F.when(col.isNull(), F.lit("text/turtle"))
-        .when(lo.isin("turtle", "text/turtle"), F.lit("text/turtle"))
-        .when(
-            lo.isin("application/rdf+xml", "rdf/xml", "rdfxml", "application/xml"),
-            F.lit("application/rdf+xml"),
-        )
-        .when(
-            lo.isin("application/ld+json", "jsonld", "application/json"),
-            F.lit("application/ld+json"),
-        )
-        .when(
-            lo.isin("application/n-triples", "application/ntriples", "n-triples"),
-            F.lit("application/n-triples"),
-        )
-        .otherwise(col)
-    )
+    out = F.when(col.isNull(), F.lit("text/turtle"))
+    canon_to_aliases: dict[str, list[str]] = {}
+    for alias, canon in _MIME_ALIASES.items():
+        canon_to_aliases.setdefault(canon, []).append(alias)
+    for canon, aliases in canon_to_aliases.items():
+        out = out.when(lo.isin(*aliases), F.lit(canon))
+    return out.otherwise(col)
 
 
 def is_compatible(format_col, media_col, url_col):

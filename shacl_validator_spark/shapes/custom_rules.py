@@ -92,6 +92,9 @@ def dir3_organism_rule(publisher_prefix: str = "http://datos.gob.es/recurso/sect
                 F.lit(DCT_PUBLISHER).alias("resultPath"),
                 F.col("object_value").alias("value"),
             )
+            # one result per distinct (focus, value): the same bad publisher
+            # asserted from several source pages is one violation
+            .dropDuplicates()
         )
 
     return CustomRule(
@@ -191,11 +194,19 @@ def temporal_order_rule() -> CustomRule:
     END = "http://www.w3.org/ns/dcat#endDate"
 
     def fn(triples: DataFrame) -> DataFrame:
-        starts = triples.filter(F.col("predicate") == START).select(
-            "subject", F.col("object_value").alias("_start")
+        # distinct VALUES per node: graph is part of quad identity, so the
+        # same start date asserted by two source pages is one value node —
+        # without the dedups a multi-graph corpus (or multi-valued node)
+        # would double-count the violation
+        starts = (
+            triples.filter(F.col("predicate") == START)
+            .select("subject", F.col("object_value").alias("_start"))
+            .dropDuplicates()
         )
-        ends = triples.filter(F.col("predicate") == END).select(
-            "subject", F.col("object_value").alias("_end")
+        ends = (
+            triples.filter(F.col("predicate") == END)
+            .select("subject", F.col("object_value").alias("_end"))
+            .dropDuplicates()
         )
         # ISO dates compare correctly as strings; try_to_date guards junk
         return (
@@ -210,6 +221,7 @@ def temporal_order_rule() -> CustomRule:
                 F.lit(START).alias("resultPath"),
                 F.col("_start").alias("value"),
             )
+            .dropDuplicates()
         )
 
     return CustomRule(

@@ -127,17 +127,21 @@ _REAL_KERNEL_FACTORIES = {
 }
 
 
-def select_kernel(kind: str, override=None):
+def select_kernel(kind: str, override=None, use_real: bool = False):
     """Kernel-selection seam: ``(name, fn)`` — an injected override, else
-    the real library kernel when its import succeeds, else the
-    deterministic fake.  Called on the EXECUTOR (inside the mapInPandas
-    closure) so library availability is evaluated where the work runs —
-    a cluster with Pillow installed picks the real kernel with no code
-    change; the sandbox falls back to the fake.
+    (only when the caller OPTS IN with ``use_real``) the real library
+    kernel when its import succeeds, else the deterministic fake.
+
+    The fake is the default even where Pillow is installed: the oracle
+    contract pins the deterministic features, and real decoding only makes
+    sense on corpora whose payloads actually are encoded media — opting in
+    is the caller's assertion of that.  Resolution happens on the EXECUTOR
+    (inside the mapInPandas closure) so library availability is evaluated
+    where the work runs.
     """
     if override is not None:
         return ("override", override)
-    factory = _REAL_KERNEL_FACTORIES.get(kind)
+    factory = _REAL_KERNEL_FACTORIES.get(kind) if use_real else None
     if factory is not None:
         try:
             return ("real", factory())
@@ -146,13 +150,16 @@ def select_kernel(kind: str, override=None):
     return ("fake", _fake_decode_features)
 
 
-def extract_features(media: DataFrame, dim: int = 16, kernel_override=None) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, kernel_override=None, use_real: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
     One ``mapInPandas`` stage; batches stream through the kernel chosen by
-    ``select_kernel`` per media kind (real library if present, fake
-    otherwise).  Output partitioning follows the input — no shuffle
-    introduced, and kernel resolution happens once per task, not per row.
+    ``select_kernel`` per media kind (deterministic fake by default; real
+    library kernel when ``use_real=True`` and importable).  Output
+    partitioning follows the input — no shuffle introduced, and kernel
+    resolution happens once per task, not per row.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,7 +168,7 @@ def extract_features(media: DataFrame, dim: int = 16, kernel_override=None) -> D
             feats = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if kind not in kernels:
-                    kernels[kind] = select_kernel(kind, kernel_override)[1]
+                    kernels[kind] = select_kernel(kind, kernel_override, use_real)[1]
                 feats.append(kernels[kind](bytes(payload), dim))
             yield pd.DataFrame(
                 {

@@ -228,8 +228,13 @@ def test_multimodal_kernel_selection_seam(spark):
         synthesize_media,
     )
 
-    assert select_kernel("image")[0] == "fake"  # no Pillow in the sandbox
-    assert select_kernel("audio")[0] == "fake"  # no real audio factory wired
+    # default is the deterministic fake EVERYWHERE (oracle contract) —
+    # real kernels require the caller's use_real opt-in
+    assert select_kernel("image")[0] == "fake"
+    assert select_kernel("audio", use_real=True)[0] == "fake"  # no audio factory
+    # opt-in resolves to the real kernel iff its library imports (sandbox:
+    # no Pillow → fake; a Pillow-equipped host → real)
+    assert select_kernel("image", use_real=True)[0] in ("real", "fake")
     assert select_kernel("image", override=_len_mod7_kernel)[0] == "override"
 
     media = synthesize_media(spark, "/root/testdata/sf0.001").limit(6)

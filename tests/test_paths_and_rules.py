@@ -185,6 +185,32 @@ d:bad dcat:startDate "2024-12-31" ; dcat:endDate "2024-01-01" .
     assert hits[0].sourceShape == rule.rule_iri
 
 
+def test_custom_rules_dedupe_across_graphs(spark):
+    """graph is part of quad identity: the same violating fact asserted by
+    two source pages is ONE value node and must yield ONE result per rule
+    (matching the compiled components' set semantics)."""
+    from shacl_validator_spark.shapes.custom_rules import (
+        dir3_organism_rule,
+        temporal_order_rule,
+    )
+
+    data = PREFIX + """
+@prefix dcat: <http://www.w3.org/ns/dcat#> .
+@prefix dct:  <http://purl.org/dc/terms/> .
+d:ds a dcat:Dataset ; dct:publisher <http://other.org/agency> .
+d:p dcat:startDate "2024-12-31" ; dcat:endDate "2024-01-01" .
+"""
+    triples = triples_from_turtle(spark, data, graph="page1").unionByName(
+        triples_from_turtle(spark, data, graph="page2")
+    )
+    rep = validate_report(
+        spark, triples, compile_shapes(SEQ_SHAPE),
+        custom_rules=[dir3_organism_rule(), temporal_order_rule()],
+    )
+    hits = [r for r in rep.results.collect() if r.sourceConstraintComponent == SPARQL_COMPONENT]
+    assert len(hits) == 2  # one DIR3 + one temporal, not doubled per graph
+
+
 def test_foaf_page_enrichment(spark):
     from shacl_validator_spark.shapes import profile_shapes_ttl
 
