@@ -12,6 +12,7 @@ hand-written fixture covers.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -250,7 +251,7 @@ def _mk_constraints(raw: list[tuple]) -> list[dict]:
     raw_constraints=st.lists(constraint_st, min_size=1, max_size=3),
 )
 @settings(
-    max_examples=25,
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
