@@ -491,6 +491,10 @@ def validate(
             ),
             "NodeKind",
         ),
+        # sh:in membership compares the LEXICAL form: profile vocabularies
+        # are IRI lists, where lexical identity == term identity; a literal
+        # sharing an IRI's spelling would conflate (documented
+        # simplification vs full RDF-term comparison)
         _hit(
             F.col("in_list").isNotNull()
             & ~F.array_contains(F.col("in_list"), F.col("object_value")),
