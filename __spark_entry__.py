@@ -510,6 +510,19 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_doc_length_stats(spark, sf_dir):
+    """Per-language document-length distribution: exact p50/p90 + mean —
+    the corpus-profiling statistics pass of a training-data pipeline."""
+    d = _docs(spark, sf_dir)
+    ln = F.length("text").cast("double")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ln), 4).alias("mean_len"),
+        F.percentile(ln, F.lit(0.5)).alias("p50"),
+        F.percentile(ln, F.lit(0.9)).alias("p90"),
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     """Corpus-hygiene gate: exact-dedup keepers ∩ quality floor ∩ language
     allowlist in one job (the standard pre-training filter chain)."""
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "doc_length_stats": q_doc_length_stats,
         "clean_corpus": q_clean_corpus,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -1358,6 +1372,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(i * 1000 AS BIGINT) AS ts_ms
         FROM documents, (SELECT UNNEST(generate_series(0, 9)) AS i)
         WHERE doc_id % 3 = 2 AND i <= doc_id % 10
+    """
+
+    sql["doc_length_stats"] = """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS mean_len,
+               quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(length(text) AS DOUBLE), 0.9) AS p90
+        FROM documents GROUP BY lang
     """
 
     sql["clean_corpus"] = f"""

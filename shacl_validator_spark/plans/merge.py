@@ -15,7 +15,11 @@ the same contract over partitioned parquet:
   "resumable from checkpoint").
 
 On a real cluster the implementation swaps to Iceberg ``MERGE INTO`` with
-identical semantics; the call sites do not change.
+identical semantics; the call sites do not change.  Atomicity note: this
+parquet emulation is exactly-once across BATCH replays (manifest +
+anti-join), but a crash mid-append can leave partial part-files that a
+replay would see — snapshot-atomic commits are exactly what the table
+format (Iceberg) provides and are intentionally delegated to it.
 """
 
 from __future__ import annotations
