@@ -104,7 +104,11 @@ CONSTRAINT_SCHEMA = T.StructType(
     [
         T.StructField("constraint_id", T.LongType(), False),
         T.StructField("shape_iri", T.StringType(), False),
-        T.StructField("target_class", T.StringType(), False),
+        # exactly one targeting mode is set per row: class-based (the
+        # dominant DCAT-AP mode), subjects-of-predicate, or an explicit node
+        T.StructField("target_class", T.StringType(), True),
+        T.StructField("target_subjects_of", T.StringType(), True),
+        T.StructField("target_node", T.StringType(), True),
         T.StructField("path", T.StringType(), True),  # rendered (F3): 'a/b', '(a | b)'
         # evaluable form: sequence of steps, each step a set of alternative
         # predicate IRIs — [[p]] for a direct path, [[a,b]] for (a | b),

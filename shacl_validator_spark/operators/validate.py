@@ -245,23 +245,62 @@ def validate(
     if not constraint_rows:
         return spark.createDataFrame([], VIOLATION_SCHEMA)
 
-    # --- targeting: sh:targetClass focus-node selection (J6) ---------------
-    # the class → constraint lookup is a literal map (compile-time
-    # broadcast): one scan of the type sub-relation, no join
+    # --- targeting: focus-node selection (J6) ------------------------------
+    # three SHACL target kinds, each a literal-map lookup (compile-time
+    # broadcast): sh:targetClass over the type sub-relation,
+    # sh:targetSubjectsOf over the predicate column, sh:targetNode as
+    # driver-side literal rows.  No join — one scan each, unioned.
     by_class: dict[str, list[int]] = {}
+    by_subj_of: dict[str, list[int]] = {}
+    by_node: dict[str, list[int]] = {}
     for r in constraint_rows:
-        by_class.setdefault(r["target_class"], []).append(r["constraint_id"])
-    target_map = _cid_map(by_class)
+        if r.get("target_class"):
+            by_class.setdefault(r["target_class"], []).append(r["constraint_id"])
+        if r.get("target_subjects_of"):
+            by_subj_of.setdefault(r["target_subjects_of"], []).append(r["constraint_id"])
+        if r.get("target_node"):
+            by_node.setdefault(r["target_node"], []).append(r["constraint_id"])
 
     types = (
         triples.filter(F.col("predicate") == RDF_TYPE)
         .select(F.col("subject"), F.col("object_value").alias("cls"))
         .dropDuplicates()
     )
-    targets = types.select(
-        F.explode(target_map[F.col("cls")]).alias("constraint_id"),
-        F.col("subject").alias("focusNode"),
-    ).dropDuplicates()
+    target_parts: list[DataFrame] = []
+    if by_class:
+        target_parts.append(
+            types.select(
+                F.explode(_cid_map(by_class)[F.col("cls")]).alias("constraint_id"),
+                F.col("subject").alias("focusNode"),
+            )
+        )
+    if by_subj_of:
+        target_parts.append(
+            triples.select(
+                F.explode(_cid_map(by_subj_of)[F.col("predicate")]).alias(
+                    "constraint_id"
+                ),
+                F.col("subject").alias("focusNode"),
+            )
+        )
+    if by_node:
+        target_parts.append(
+            spark.createDataFrame(
+                [
+                    (cid, node)
+                    for node, cids in sorted(by_node.items())
+                    for cid in sorted(cids)
+                ],
+                "constraint_id long, focusNode string",
+            )
+        )
+    if target_parts:
+        targets = target_parts[0]
+        for part in target_parts[1:]:
+            targets = targets.unionByName(part)
+        targets = targets.dropDuplicates()
+    else:
+        targets = spark.createDataFrame([], "constraint_id long, focusNode string")
 
     # --- path value lookup ---------------------------------------------------
     # Fast path: single-step paths (the overwhelming majority) — one scan of

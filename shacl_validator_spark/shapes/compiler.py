@@ -433,8 +433,22 @@ def compile_shapes(ttl: str) -> list[dict]:
     g = parse_turtle(ttl)
     rows: list[dict] = []
     cid = 0
-    for shape in g.subjects_with(SH + "targetClass"):
-        target_classes = [t.value for t in g.objects(shape, SH + "targetClass")]
+    # a shape may use any of the three targeting modes (class-based is the
+    # dominant DCAT-AP form; subjects-of and explicit-node are the other
+    # core SHACL target kinds) — one constraint row per (target, facet set)
+    shapes_seen: dict[str, None] = {}
+    for pred in ("targetClass", "targetSubjectsOf", "targetNode"):
+        for shape in g.subjects_with(SH + pred):
+            shapes_seen.setdefault(shape)
+    for shape in shapes_seen:
+        shape_targets = (
+            [("target_class", t.value) for t in g.objects(shape, SH + "targetClass")]
+            + [
+                ("target_subjects_of", t.value)
+                for t in g.objects(shape, SH + "targetSubjectsOf")
+            ]
+            + [("target_node", t.value) for t in g.objects(shape, SH + "targetNode")]
+        )
         foaf_page_t = g.first(shape, "http://xmlns.com/foaf/0.1/page")
         foaf_page = foaf_page_t.value if foaf_page_t is not None else None
         for prop_t in g.objects(shape, SH + "property"):
@@ -474,13 +488,17 @@ def compile_shapes(ttl: str) -> list[dict]:
             # foaf:page may also sit on the property shape itself
             pp_t = g.first(prop, "http://xmlns.com/foaf/0.1/page")
             for src_shape in [shape]:
-                for tc in target_classes:
+                for tkind, tval in shape_targets:
                     cid += 1
                     rows.append(
                         {
                             "constraint_id": cid,
                             "shape_iri": src_shape if prop.startswith("_:") else prop,
-                            "target_class": tc,
+                            "target_class": tval if tkind == "target_class" else None,
+                            "target_subjects_of": (
+                                tval if tkind == "target_subjects_of" else None
+                            ),
+                            "target_node": tval if tkind == "target_node" else None,
                             "path": rendered,
                             "path_steps": steps,
                             "min_count": _int_of(g.first(prop, SH + "minCount")),

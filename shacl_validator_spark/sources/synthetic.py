@@ -482,6 +482,8 @@ def customer_constraints() -> list[dict]:
             "constraint_id": cid,
             "shape_iri": EX + "CustomerShape",
             "target_class": EX + "Customer",
+            "target_subjects_of": None,
+            "target_node": None,
             "path": None,
             "path_steps": None,
             "min_count": None,

@@ -185,6 +185,41 @@ d:bad dcat:startDate "2024-12-31" ; dcat:endDate "2024-01-01" .
     assert hits[0].sourceShape == rule.rule_iri
 
 
+def test_target_subjects_of_and_target_node(spark):
+    """The other two SHACL target kinds: subjects-of-predicate targeting
+    needs no rdf:type triples at all; node targeting validates an explicit
+    node (including zero-value minCount detection on it)."""
+    shapes_ttl = PREFIX + """
+ex:HasEmailShape a sh:NodeShape ;
+    sh:targetSubjectsOf ex:email ;
+    sh:property [ sh:path ex:email ; sh:pattern "@" ; sh:severity sh:Violation ] .
+
+ex:RootShape a sh:NodeShape ;
+    sh:targetNode d:root ;
+    sh:property [ sh:path ex:label ; sh:minCount 1 ; sh:severity sh:Violation ] .
+"""
+    rows = compile_shapes(shapes_ttl)
+    kinds = {
+        (r["target_class"], r["target_subjects_of"], r["target_node"]) for r in rows
+    }
+    assert (None, "http://example.org/s#email", None) in kinds
+    assert (None, None, "http://example.org/d#root") in kinds
+
+    data = PREFIX + """
+d:u1 ex:email "ok@example.org" .
+d:u2 ex:email "not-an-email" .
+d:root ex:other "x" .
+"""
+    got = {
+        (r.focusNode, r.sourceConstraintComponent.rsplit("#", 1)[-1])
+        for r in validate(spark, triples_from_turtle(spark, data), rows).collect()
+    }
+    assert got == {
+        ("http://example.org/d#u2", "PatternConstraintComponent"),
+        ("http://example.org/d#root", "MinCountConstraintComponent"),
+    }
+
+
 def test_custom_rules_dedupe_across_graphs(spark):
     """graph is part of quad identity: the same violating fact asserted by
     two source pages is ONE value node and must yield ONE result per rule
