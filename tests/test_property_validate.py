@@ -75,8 +75,15 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
     for s, p, v, ot, dt, lg, g in triples:
         if p == RDF_TYPE:
             types.setdefault(s, set()).add(v)
+    def targets_of(c):
+        if c.get("target_subjects_of"):
+            return sorted(
+                {s for s, p, *_ in triples if p == c["target_subjects_of"]}
+            )
+        return [s for s, ts in types.items() if c.get("target_class") in ts]
+
     for c in constraints:
-        targets = [s for s, ts in types.items() if c["target_class"] in ts]
+        targets = targets_of(c)
         path = c["path"]
         sev = c["severity"]
 
@@ -225,16 +232,23 @@ facet_st = st.fixed_dictionaries(
     },
 )
 
-constraint_st = st.tuples(st.sampled_from(PREDS), st.just("T"), facet_st)
+target_st = st.one_of(
+    st.just(("target_class", "T")),
+    st.sampled_from([("target_subjects_of", "p0"), ("target_subjects_of", CMP_PRED)]),
+)
+
+constraint_st = st.tuples(st.sampled_from(PREDS), target_st, facet_st)
 
 
 def _mk_constraints(raw: list[tuple]) -> list[dict]:
     rows = []
-    for i, (path, tc, facets) in enumerate(raw):
+    for i, (path, (tkind, tval), facets) in enumerate(raw):
         row = {
             "constraint_id": i + 1,
             "shape_iri": "ex:S",
-            "target_class": tc,
+            "target_class": tval if tkind == "target_class" else None,
+            "target_subjects_of": tval if tkind == "target_subjects_of" else None,
+            "target_node": None,
             "path": path,
             "path_steps": [[path]],
             "severity": "Violation",
@@ -285,7 +299,12 @@ def test_engine_matches_reference(spark, triples, raw_constraints):
             typed.setdefault(s, set()).add(v)
     for c in constraints:
         if c.get("class_iri"):
-            targets = [s for s, ts in typed.items() if c["target_class"] in ts]
+            if c.get("target_subjects_of"):
+                targets = sorted(
+                    {s for s, p, *_ in triples if p == c["target_subjects_of"]}
+                )
+            else:
+                targets = [s for s, ts in typed.items() if c.get("target_class") in ts]
             for focus in targets:
                 nodes = {
                     (v, ot)
