@@ -19,8 +19,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from shacl_validator_spark.operators import analytics as ana  # noqa: E402
 from shacl_validator_spark.operators.validate import validate_report  # noqa: E402
 from shacl_validator_spark.session import get_spark  # noqa: E402
@@ -34,8 +32,8 @@ from shacl_validator_spark.sources.rdf_io import (  # noqa: E402
     triples_from_turtle,
 )
 from shacl_validator_spark.sources.report_io import (  # noqa: E402
+    flatten_for_csv,
     report_to_turtle,
-    write_report_csv,
 )
 
 
@@ -74,6 +72,9 @@ def main() -> int:
         compiled_profile(args.profile),
         custom_rules=profile_custom_rules(args.profile),
     )
+    # the report is tiny and consumed by four downstream actions (summary,
+    # groups, Turtle, CSV) — persist so the validation DAG runs once
+    rep.results.persist()
 
     print(f"\nprofile: {args.profile}   format: {fmt}")
     print(f"conforms: {rep.conforms}")
@@ -81,12 +82,8 @@ def main() -> int:
     for sev in ("Violation", "Warning", "Info"):
         print(f"  {sev:<9} {summary.get(sev, 0)}")
 
-    top = (
-        ana.grouped_findings(rep.results)
-        .orderBy(F.desc("total"))
-        .limit(args.top)
-        .collect()
-    )
+    # severity-ranked then count-desc, exactly the reference UI's ordering
+    top = ana.grouped_findings(rep.results, limit=args.top).collect()
     if top:
         print(f"\ntop findings (of {len(top)} groups shown):")
         for g in top:
@@ -99,8 +96,12 @@ def main() -> int:
         ttl_path = os.path.join(args.out_dir, "report.ttl")
         with open(ttl_path, "w", encoding="utf-8") as f:
             f.write(ttl)
+        # a single downloadable CSV FILE (like the reference's export), not
+        # a Spark part-file directory — the report is driver-sized
         csv_path = os.path.join(args.out_dir, "report.csv")
-        write_report_csv(rep.results, csv_path, preferred_lang=args.lang)
+        flatten_for_csv(rep.results, preferred_lang=args.lang).toPandas().to_csv(
+            csv_path, index=False
+        )
         print(f"\nwrote {ttl_path} and {csv_path}")
 
     return 0 if rep.conforms else 1
