@@ -105,9 +105,11 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("constraint_id", T.LongType(), False),
         T.StructField("shape_iri", T.StringType(), False),
         # exactly one targeting mode is set per row: class-based (the
-        # dominant DCAT-AP mode), subjects-of-predicate, or an explicit node
+        # dominant DCAT-AP mode), subjects-of / objects-of a predicate, or
+        # an explicit node
         T.StructField("target_class", T.StringType(), True),
         T.StructField("target_subjects_of", T.StringType(), True),
+        T.StructField("target_objects_of", T.StringType(), True),
         T.StructField("target_node", T.StringType(), True),
         T.StructField("path", T.StringType(), True),  # rendered (F3): 'a/b', '(a | b)'
         # evaluable form: sequence of steps, each step a set of alternative

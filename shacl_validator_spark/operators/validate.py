@@ -252,12 +252,15 @@ def validate(
     # driver-side literal rows.  No join — one scan each, unioned.
     by_class: dict[str, list[int]] = {}
     by_subj_of: dict[str, list[int]] = {}
+    by_obj_of: dict[str, list[int]] = {}
     by_node: dict[str, list[int]] = {}
     for r in constraint_rows:
         if r.get("target_class"):
             by_class.setdefault(r["target_class"], []).append(r["constraint_id"])
         if r.get("target_subjects_of"):
             by_subj_of.setdefault(r["target_subjects_of"], []).append(r["constraint_id"])
+        if r.get("target_objects_of"):
+            by_obj_of.setdefault(r["target_objects_of"], []).append(r["constraint_id"])
         if r.get("target_node"):
             by_node.setdefault(r["target_node"], []).append(r["constraint_id"])
 
@@ -281,6 +284,16 @@ def validate(
                     "constraint_id"
                 ),
                 F.col("subject").alias("focusNode"),
+            )
+        )
+    if by_obj_of:
+        # sh:targetObjectsOf: every object of the predicate is a focus node
+        target_parts.append(
+            triples.select(
+                F.explode(_cid_map(by_obj_of)[F.col("predicate")]).alias(
+                    "constraint_id"
+                ),
+                F.col("object_value").alias("focusNode"),
             )
         )
     if by_node:

@@ -437,7 +437,7 @@ def compile_shapes(ttl: str) -> list[dict]:
     # dominant DCAT-AP form; subjects-of and explicit-node are the other
     # core SHACL target kinds) — one constraint row per (target, facet set)
     shapes_seen: dict[str, None] = {}
-    for pred in ("targetClass", "targetSubjectsOf", "targetNode"):
+    for pred in ("targetClass", "targetSubjectsOf", "targetObjectsOf", "targetNode"):
         for shape in g.subjects_with(SH + pred):
             shapes_seen.setdefault(shape)
     for shape in shapes_seen:
@@ -446,6 +446,10 @@ def compile_shapes(ttl: str) -> list[dict]:
             + [
                 ("target_subjects_of", t.value)
                 for t in g.objects(shape, SH + "targetSubjectsOf")
+            ]
+            + [
+                ("target_objects_of", t.value)
+                for t in g.objects(shape, SH + "targetObjectsOf")
             ]
             + [("target_node", t.value) for t in g.objects(shape, SH + "targetNode")]
         )
@@ -497,6 +501,9 @@ def compile_shapes(ttl: str) -> list[dict]:
                             "target_class": tval if tkind == "target_class" else None,
                             "target_subjects_of": (
                                 tval if tkind == "target_subjects_of" else None
+                            ),
+                            "target_objects_of": (
+                                tval if tkind == "target_objects_of" else None
                             ),
                             "target_node": tval if tkind == "target_node" else None,
                             "path": rendered,

@@ -483,6 +483,7 @@ def customer_constraints() -> list[dict]:
             "shape_iri": EX + "CustomerShape",
             "target_class": EX + "Customer",
             "target_subjects_of": None,
+            "target_objects_of": None,
             "target_node": None,
             "path": None,
             "path_steps": None,

@@ -220,6 +220,27 @@ d:root ex:other "x" .
     }
 
 
+def test_target_objects_of(spark):
+    """sh:targetObjectsOf: the objects of the predicate become focus nodes
+    — a member without the required name fires minCount."""
+    shapes_ttl = PREFIX + """
+ex:MemberShape a sh:NodeShape ;
+    sh:targetObjectsOf ex:member ;
+    sh:property [ sh:path ex:name ; sh:minCount 1 ; sh:severity sh:Violation ] .
+"""
+    rows = compile_shapes(shapes_ttl)
+    assert any(r["target_objects_of"] == "http://example.org/s#member" for r in rows)
+    data = PREFIX + """
+d:org ex:member d:alice , d:bob .
+d:alice ex:name "Alice" .
+"""
+    got = {
+        (r.focusNode, r.sourceConstraintComponent.rsplit("#", 1)[-1])
+        for r in validate(spark, triples_from_turtle(spark, data), rows).collect()
+    }
+    assert got == {("http://example.org/d#bob", "MinCountConstraintComponent")}
+
+
 def test_custom_rules_dedupe_across_graphs(spark):
     """graph is part of quad identity: the same violating fact asserted by
     two source pages is ONE value node and must yield ONE result per rule

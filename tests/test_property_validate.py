@@ -248,6 +248,7 @@ def _mk_constraints(raw: list[tuple]) -> list[dict]:
             "shape_iri": "ex:S",
             "target_class": tval if tkind == "target_class" else None,
             "target_subjects_of": tval if tkind == "target_subjects_of" else None,
+            "target_objects_of": None,
             "target_node": None,
             "path": path,
             "path_steps": [[path]],
