@@ -150,13 +150,20 @@ def _cust_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SMALL = 2**31 - 1
 
 
-def _violations_of(spark: SparkSession, sf_dir: str, component: str) -> DataFrame:
+def _violations_of(
+    spark: SparkSession, sf_dir: str, component: str, path: str | None = None
+) -> DataFrame:
     v = validate(
         spark, _cust_triples(spark, sf_dir), customer_constraints(), broadcast_rows=_SMALL
     )
-    return v.filter(
+    v = v.filter(
         F.col("sourceConstraintComponent") == SH + component + "ConstraintComponent"
-    ).select(*VIOLATION_OUT_COLS)
+    )
+    # several fixture constraints share a component (e.g. MaxCount on both
+    # ex:alias and the inverse-path shape) — disambiguate by resultPath
+    if path is not None:
+        v = v.filter(F.col("resultPath") == path)
+    return v.select(*VIOLATION_OUT_COLS)
 
 
 _CUST_SHAPE = "ex:CustomerShape"
@@ -227,7 +234,7 @@ def q_shacl_class(spark, sf_dir):
 
 
 def q_shacl_max_count(spark, sf_dir):
-    return _violations_of(spark, sf_dir, "MaxCount")
+    return _violations_of(spark, sf_dir, "MaxCount", path="ex:alias")
 
 
 def q_shacl_datatype(spark, sf_dir):
@@ -267,11 +274,48 @@ def q_shacl_max_length(spark, sf_dir):
 
 
 def q_shacl_has_value(spark, sf_dir):
-    return _violations_of(spark, sf_dir, "HasValue")
+    return _violations_of(spark, sf_dir, "HasValue", path="ex:segment")
 
 
 def q_shacl_or_datatype(spark, sf_dir):
-    return _violations_of(spark, sf_dir, "Or")
+    return _violations_of(spark, sf_dir, "Or", path="ex:regdate")
+
+
+def q_shacl_or_general(spark, sf_dir):
+    """General sh:or over non-datatype branches (pattern | nodeKind)."""
+    return _violations_of(spark, sf_dir, "Or", path="ex:acctbal")
+
+
+def q_shacl_node_nested(spark, sf_dir):
+    """sh:node — value nodes validated against a nested node shape."""
+    return _violations_of(spark, sf_dir, "Node")
+
+
+def q_shacl_qualified_min(spark, sf_dir):
+    """sh:qualifiedValueShape + sh:qualifiedMinCount."""
+    return _violations_of(spark, sf_dir, "QualifiedMinCount")
+
+
+def q_shacl_not(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Not")
+
+
+def q_shacl_and(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "And")
+
+
+def q_shacl_xone(spark, sf_dir):
+    return _violations_of(spark, sf_dir, "Xone")
+
+
+def q_shacl_inverse_path(spark, sf_dir):
+    """sh:inversePath — nations with too many in-linking customers."""
+    return _violations_of(spark, sf_dir, "MaxCount", path="^ex:nation")
+
+
+def q_shacl_zero_or_more(spark, sf_dir):
+    """sh:zeroOrMorePath — ex:nation/ex:partof* must reach region:0."""
+    return _violations_of(spark, sf_dir, "HasValue", path="ex:nation/ex:partof*")
 
 
 def q_shacl_report_summary(spark, sf_dir):
@@ -827,6 +871,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_max_length": q_shacl_max_length,
         "shacl_has_value": q_shacl_has_value,
         "shacl_or_datatype": q_shacl_or_datatype,
+        "shacl_or_general": q_shacl_or_general,
+        "shacl_node_nested": q_shacl_node_nested,
+        "shacl_qualified_min": q_shacl_qualified_min,
+        "shacl_not": q_shacl_not,
+        "shacl_and": q_shacl_and,
+        "shacl_xone": q_shacl_xone,
+        "shacl_inverse_path": q_shacl_inverse_path,
+        "shacl_zero_or_more": q_shacl_zero_or_more,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
         "tpch_q1": q_tpch_q1,
@@ -1122,6 +1174,87 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_custkey % 3 = 0
     """
 
+    sql["shacl_or_general"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:acctbal' AS resultPath,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#OrConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_acctbal < 0
+    """
+
+    sql["shacl_node_nested"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:nation' AS resultPath,
+               'nation:' || CAST(c_nationkey AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#NodeConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_nationkey % 2 = 1
+    """
+
+    sql["shacl_qualified_min"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:label' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#QualifiedMinCountConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 4 <> 0
+    """
+
+    sql["shacl_not"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:label' AS resultPath,
+               'de ' || c_name AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#NotConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 6 = 0
+    """
+
+    sql["shacl_and"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:segment' AS resultPath,
+               c_mktsegment AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#AndConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE length(c_mktsegment) < 9
+    """
+
+    sql["shacl_xone"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:regdate' AS resultPath,
+               'not-a-date' AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#XoneConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 3 = 0
+    """
+
+    sql["shacl_inverse_path"] = """
+        SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS focusNode,
+               '^ex:nation' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MaxCountConstraintComponent' AS sourceConstraintComponent,
+               'ex:NationInvShape' AS sourceShape
+        FROM customer WHERE c_nationkey < 15
+        GROUP BY c_nationkey HAVING COUNT(*) > 18
+    """
+
+    sql["shacl_zero_or_more"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:nation/ex:partof*' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#HasValueConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE NOT (c_nationkey % 2 = 0 AND c_nationkey % 5 = 0)
+    """
+
     sql["shacl_report_summary"] = """
         WITH v AS (
           SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS component,
@@ -1174,6 +1307,31 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#OrConstraintComponent', 'Info'
           FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#OrConstraintComponent', 'Warning'
+          FROM customer WHERE c_acctbal < 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#NodeConstraintComponent', 'Violation'
+          FROM customer WHERE c_nationkey % 2 = 1
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#QualifiedMinCountConstraintComponent', 'Info'
+          FROM customer WHERE c_custkey % 4 <> 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#NotConstraintComponent', 'Warning'
+          FROM customer WHERE c_custkey % 6 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#AndConstraintComponent', 'Info'
+          FROM customer WHERE length(c_mktsegment) < 9
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#XoneConstraintComponent', 'Warning'
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MaxCountConstraintComponent', 'Info'
+          FROM (SELECT c_nationkey FROM customer WHERE c_nationkey < 15
+                GROUP BY c_nationkey HAVING COUNT(*) > 18)
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#HasValueConstraintComponent', 'Info'
+          FROM customer WHERE NOT (c_nationkey % 2 = 0 AND c_nationkey % 5 = 0)
         )
         SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
     """

@@ -134,6 +134,17 @@ def run_bench(
         triples_per_sec = res.triples_in / wall if wall > 0 else 0.0
         valid_per_sec = res.triples_valid / wall if wall > 0 else 0.0
         pages_per_sec = n_pages / wall if wall > 0 else 0.0
+        # parallel-groups axis (VERDICT r2 #9): same corpus, 2 groups
+        # processed by the thread-pooled path — exercises the serialized
+        # MERGE commit under contention; merged count must match the
+        # sequential run (exactly-once invariant)
+        out_dir2 = os.path.join(out_dir, "pg2")
+        t0 = time.time()
+        res2 = run_pipeline(
+            spark, pages, out_dir2, n_groups=2, parallel_groups=2, resume=False
+        )
+        times["kg_pipeline_pg2"] = round(time.time() - t0, 3)
+        pg2_merged_equal = res2.merged == res.merged
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -152,6 +163,7 @@ def run_bench(
         "validated_triples_per_sec": round(valid_per_sec, 1),
         "extracted_triples_per_sec": round(triples_per_sec, 1),
         "pages_per_sec": round(pages_per_sec, 1),
+        "pg2_merged_equal": pg2_merged_equal,
     }
 
 

@@ -100,6 +100,30 @@ PAGES_SCHEMA = T.StructType(
 
 # --- Constraint table (compiled shapes graph; FIXTURES.md §3) ---------------
 
+# A "branch" is the compiled form of an inline/referenced shape used inside a
+# logical constraint (sh:or / sh:and / sh:xone / sh:not), sh:node, or
+# sh:qualifiedValueShape.  Simple per-value facets compile to the scalar
+# fields; a shape with its own sh:property children compiles to nested
+# definition rows (``nested_under``) and the branch carries only ``node_ref``
+# — the validator resolves conformance via a recursive pass over the value
+# nodes (operators/validate.py).  This replaces the reference's delegation
+# to ``shacl-engine`` for full SHACL core
+# (reference src/services/SHACLValidationService.ts:398-408).
+BRANCH_SCHEMA = T.StructType(
+    [
+        T.StructField("datatype", T.StringType(), True),
+        T.StructField("node_kind", T.StringType(), True),
+        T.StructField("class_iri", T.StringType(), True),
+        T.StructField("pattern", T.StringType(), True),
+        T.StructField("min_length", T.IntegerType(), True),
+        T.StructField("max_length", T.IntegerType(), True),
+        # IRI/bnode id of a nested node shape with sh:property children;
+        # conformance = zero results when validating the value node against
+        # that shape's compiled rows
+        T.StructField("node_ref", T.StringType(), True),
+    ]
+)
+
 CONSTRAINT_SCHEMA = T.StructType(
     [
         T.StructField("constraint_id", T.LongType(), False),
@@ -140,6 +164,23 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("has_value", T.StringType(), True),
         T.StructField("min_length", T.IntegerType(), True),
         T.StructField("max_length", T.IntegerType(), True),
+        # --- nested / logical SHACL surface (SHACL core §4.6-4.7) ---------
+        # sh:node on the property shape (value nodes must conform)
+        T.StructField("node_branch", BRANCH_SCHEMA, True),
+        # general sh:or / sh:and / sh:xone branch lists (pure-datatype sh:or
+        # lists keep compiling to datatype_in — the cheaper column-only path)
+        T.StructField("or_branches", T.ArrayType(BRANCH_SCHEMA), True),
+        T.StructField("and_branches", T.ArrayType(BRANCH_SCHEMA), True),
+        T.StructField("xone_branches", T.ArrayType(BRANCH_SCHEMA), True),
+        T.StructField("not_branch", BRANCH_SCHEMA, True),
+        # sh:qualifiedValueShape with qualifiedMin/MaxCount
+        T.StructField("qvs_branch", BRANCH_SCHEMA, True),
+        T.StructField("q_min_count", T.IntegerType(), True),
+        T.StructField("q_max_count", T.IntegerType(), True),
+        # set on definition rows of a nested node shape: the shape IRI/bnode
+        # this row belongs to; such rows have no target_* and are evaluated
+        # only via node_ref references (dynamic targets = parent value nodes)
+        T.StructField("nested_under", T.StringType(), True),
         T.StructField("severity", T.StringType(), False),
         T.StructField("messages", MESSAGE_SCHEMA, True),
         T.StructField("foaf_page", T.StringType(), True),

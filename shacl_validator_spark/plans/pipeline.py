@@ -444,3 +444,27 @@ def run_pipeline(
         violations_df=viol_all,
         stage_seconds={k: round(v, 3) for k, v in stage_seconds.items()},
     )
+
+
+def prune_lineage(out_dir: str, keep: int = 10) -> int:
+    """Cap the lineage history at the last ``keep`` rows.
+
+    Parity with the reference's validation-history cap — the UI slices its
+    localStorage report history to the 10 most recent entries
+    (reference src/components/Validator/ValidationResults.tsx:246);
+    round 2 left the lineage append-only.  Rows stay in append order, so
+    "last keep" is the tail of the JSONL file.  Returns the number of rows
+    dropped.  Note the MANIFEST is untouched: resume correctness depends on
+    the done-set, not on the pruned metrics history.
+    """
+    path = os.path.join(out_dir, "lineage.jsonl")
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    if len(lines) <= keep:
+        return 0
+    kept = lines[-keep:]
+    with open(path, "w") as f:
+        f.write("\n".join(kept) + "\n")
+    return len(lines) - len(kept)

@@ -352,15 +352,37 @@ def compile_pattern(pattern: str, flags: str | None = None) -> str:
     return pattern
 
 
+def _render_alt(alt: str) -> str:
+    """Render one encoded step alternative for reports.
+
+    Encoding (see ``_path_steps``): a leading ``^`` marks sh:inversePath,
+    ``*`` sh:zeroOrMorePath, ``+`` sh:oneOrMorePath; renderings follow the
+    SPARQL property-path surface syntax (``^p``, ``p*``, ``p+``)."""
+    mods = ""
+    while alt and alt[0] in "^*+":
+        mods += alt[0]
+        alt = alt[1:]
+    out = alt
+    if "^" in mods:
+        out = "^" + out
+    if "*" in mods:
+        out = out + "*"
+    if "+" in mods:
+        out = out + "+"
+    return out
+
+
 def render_path(steps: list[list[str]]) -> str:
     """Render path steps for reports: sequences ``a/b``, alternatives
-    ``(a | b)`` — reference SHACLValidationService.ts:207-247."""
+    ``(a | b)`` — reference SHACLValidationService.ts:207-247; inverse and
+    closure modifiers use the SPARQL surface forms ``^p`` / ``p*`` / ``p+``."""
     parts = []
     for alts in steps:
-        if len(alts) == 1:
-            parts.append(alts[0])
+        rendered = [_render_alt(a) for a in alts]
+        if len(rendered) == 1:
+            parts.append(rendered[0])
         else:
-            parts.append("(" + " | ".join(alts) + ")")
+            parts.append("(" + " | ".join(rendered) + ")")
     return "/".join(parts)
 
 
@@ -382,24 +404,61 @@ def _severity_of(term: Term | None) -> str:
     return "Violation"
 
 
-def _path_steps(g: ParsedGraph, path_term: Term) -> list[list[str]]:
+def _path_alt(g: ParsedGraph, term: Term, warnings: list[str]) -> str:
+    """Resolve one non-sequence path node into an encoded alternative.
+
+    Encoding: plain IRI → itself; sh:inversePath → ``^`` prefix;
+    sh:zeroOrMorePath → ``*`` prefix; sh:oneOrMorePath → ``+`` prefix.
+    Modifiers compose (``*^p`` = zero-or-more of inverse p); modifiers over
+    non-atomic paths (a sequence under a closure) are out of scope and warn.
+    """
+    if term.kind == "iri":
+        return term.value
+    node = term.value
+    for pred, mod in (("inversePath", "^"), ("zeroOrMorePath", "*"), ("oneOrMorePath", "+")):
+        inner = g.first(node, SH + pred)
+        if inner is not None:
+            if inner.kind == "iri":
+                return mod + inner.value
+            sub = _path_alt(g, inner, warnings)
+            if sub.lstrip("^*+") != sub or g.rdf_list(inner.value):
+                if g.rdf_list(inner.value):
+                    warnings.append(
+                        f"sh:{pred} over a sequence path is unsupported; "
+                        f"treating inner head only"
+                    )
+            return mod + sub
+    return node
+
+
+def _path_steps(
+    g: ParsedGraph, path_term: Term, warnings: list[str] | None = None
+) -> list[list[str]]:
     """Resolve sh:path into evaluable steps.
 
     Direct IRI → one step; rdf:list → sequence; node with
-    sh:alternativePath list → one multi-alternative step.
+    sh:alternativePath list → one multi-alternative step; inverse /
+    zero-or-more / one-or-more nodes → modifier-prefixed alternatives
+    (see ``_path_alt``).
     """
+    warnings = warnings if warnings is not None else []
     if path_term.kind == "iri":
         return [[path_term.value]]
     node = path_term.value
     alt = g.first(node, SH + "alternativePath")
     if alt is not None:
         alts = g.rdf_list(alt.value)
-        return [[t.value for t in alts]]
+        return [[_path_alt(g, t, warnings) for t in alts]]
+    if any(
+        g.first(node, SH + p) is not None
+        for p in ("inversePath", "zeroOrMorePath", "oneOrMorePath")
+    ):
+        return [[_path_alt(g, path_term, warnings)]]
     seq = g.rdf_list(node)
     if seq:
         steps: list[list[str]] = []
         for t in seq:
-            steps.extend(_path_steps(g, t))
+            steps.extend(_path_steps(g, t, warnings))
         return steps
     return [[node]]
 
@@ -422,20 +481,265 @@ def _float_of(term: Term | None) -> float | None:
         return None
 
 
-def compile_shapes(ttl: str) -> list[dict]:
+# Facet keys every constraint row carries (None when unset) — keep in sync
+# with model.CONSTRAINT_SCHEMA.
+_ROW_DEFAULTS = {
+    "target_class": None,
+    "target_subjects_of": None,
+    "target_objects_of": None,
+    "target_node": None,
+    "path": None,
+    "path_steps": None,
+    "min_count": None,
+    "max_count": None,
+    "datatype": None,
+    "datatype_in": None,
+    "node_kind": None,
+    "pattern": None,
+    "flags": None,
+    "in_list": None,
+    "class_iri": None,
+    "min_inclusive": None,
+    "max_inclusive": None,
+    "min_exclusive": None,
+    "max_exclusive": None,
+    "less_than": None,
+    "unique_lang": None,
+    "language_in": None,
+    "has_value": None,
+    "min_length": None,
+    "max_length": None,
+    "node_branch": None,
+    "or_branches": None,
+    "and_branches": None,
+    "xone_branches": None,
+    "not_branch": None,
+    "qvs_branch": None,
+    "q_min_count": None,
+    "q_max_count": None,
+    "nested_under": None,
+}
+
+# constraint predicates a branch shape may carry as pure per-value facets
+_BRANCH_SUPPORTED = {
+    SH + p
+    for p in ("datatype", "nodeKind", "class", "pattern", "flags", "minLength", "maxLength", "property", "node", "name", "description", "message", "path")
+}
+
+
+class _Ctx:
+    """Per-compile accumulator: nested-shape definition rows + warnings."""
+
+    def __init__(self, warnings: list[str]):
+        self.defs: list[dict] = []
+        self.seen: set[str] = set()
+        self.warnings = warnings
+
+
+def _branch_of(g: ParsedGraph, term: Term, ctx: _Ctx) -> dict:
+    """Compile a branch shape (operand of or/and/xone/not, sh:node target,
+    or qualifiedValueShape) into a BRANCH dict.
+
+    Simple facets compile inline; sh:property children compile to nested
+    definition rows referenced by ``node_ref``; anything else warns so a
+    dropped constraint is visible (a silently vanishing branch would make
+    non-conforming data report as conforming)."""
+    node = term.value
+    pattern_t = g.first(node, SH + "pattern")
+    flags_t = g.first(node, SH + "flags")
+    nk_t = g.first(node, SH + "nodeKind")
+    cls_t = g.first(node, SH + "class")
+    dt_t = g.first(node, SH + "datatype")
+    inner_node = g.first(node, SH + "node")
+    br = {
+        "datatype": dt_t.value if dt_t is not None else None,
+        "node_kind": nk_t.value.rsplit("#", 1)[-1] if nk_t is not None else None,
+        "class_iri": cls_t.value if cls_t is not None else None,
+        "pattern": (
+            compile_pattern(pattern_t.value, flags_t.value if flags_t else None)
+            if pattern_t is not None
+            else None
+        ),
+        "min_length": _int_of(g.first(node, SH + "minLength")),
+        "max_length": _int_of(g.first(node, SH + "maxLength")),
+        "node_ref": None,
+    }
+    if g.objects(node, SH + "property"):
+        _compile_nested(g, node, ctx)
+        br["node_ref"] = node
+    if inner_node is not None:
+        # branch is itself a property-less wrapper around sh:node
+        sub = _branch_of(g, inner_node, ctx)
+        for k, v in sub.items():
+            if br.get(k) is None:
+                br[k] = v
+    for s, p, _ in g.triples:
+        if s == node and p.startswith(SH) and p not in _BRANCH_SUPPORTED:
+            ctx.warnings.append(
+                f"branch shape {node}: unsupported constraint {p} ignored"
+            )
+    return br
+
+
+def _compile_nested(g: ParsedGraph, shape: str, ctx: _Ctx) -> None:
+    """Compile a nested node shape's property shapes into definition rows
+    (``nested_under`` = the shape id, no targets).  The validator resolves
+    them with dynamic targets = the referencing constraint's value nodes."""
+    if shape in ctx.seen:
+        return
+    ctx.seen.add(shape)
+    for prop_t in g.objects(shape, SH + "property"):
+        for facets in _prop_constraints(g, prop_t.value, shape, ctx):
+            facets["nested_under"] = shape
+            ctx.defs.append(facets)
+
+
+def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[dict]:
+    """Compile one property shape into one-or-more facet dicts (no targets).
+
+    The first dict carries every simple facet plus the first of each
+    logical/nested constraint kind; additional sh:or / sh:node objects on
+    the same property shape (a conjunction of constraints) emit extra
+    dicts so each stays one row."""
+    path_t = g.first(prop, SH + "path")
+    if path_t is None:
+        return []
+    steps = _path_steps(g, path_t, ctx.warnings)
+    severity = _severity_of(g.first(prop, SH + "severity"))
+    messages = [
+        {"text": m.value, "lang": (m.lang.lower().split("-")[0] if m.lang else None)}
+        for m in g.objects(prop, SH + "message")
+    ]
+    pp_t = g.first(prop, "http://xmlns.com/foaf/0.1/page")
+    base = dict(_ROW_DEFAULTS)
+    base.update(
+        {
+            "shape_iri": shape if prop.startswith("_:") else prop,
+            "path": render_path(steps),
+            "path_steps": steps,
+            "severity": severity,
+            "messages": messages or None,
+            "foaf_page": pp_t.value if pp_t is not None else None,
+        }
+    )
+    out = [dict(base)]
+
+    pattern_t = g.first(prop, SH + "pattern")
+    flags_t = g.first(prop, SH + "flags")
+    in_t = g.first(prop, SH + "in")
+    dt_t = g.first(prop, SH + "datatype")
+    nk_t = g.first(prop, SH + "nodeKind")
+    cls_t = g.first(prop, SH + "class")
+    lt_t = g.first(prop, SH + "lessThan")
+    ul_t = g.first(prop, SH + "uniqueLang")
+    li_t = g.first(prop, SH + "languageIn")
+    hv_t = g.first(prop, SH + "hasValue")
+    out[0].update(
+        {
+            "min_count": _int_of(g.first(prop, SH + "minCount")),
+            "max_count": _int_of(g.first(prop, SH + "maxCount")),
+            "datatype": dt_t.value if dt_t is not None else None,
+            "node_kind": nk_t.value.rsplit("#", 1)[-1] if nk_t is not None else None,
+            "pattern": (
+                compile_pattern(pattern_t.value, flags_t.value if flags_t else None)
+                if pattern_t is not None
+                else None
+            ),
+            "flags": flags_t.value if flags_t is not None else None,
+            "in_list": (
+                [t.value for t in g.rdf_list(in_t.value)] if in_t is not None else None
+            ),
+            "class_iri": cls_t.value if cls_t is not None else None,
+            "min_inclusive": _float_of(g.first(prop, SH + "minInclusive")),
+            "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
+            "min_exclusive": _float_of(g.first(prop, SH + "minExclusive")),
+            "max_exclusive": _float_of(g.first(prop, SH + "maxExclusive")),
+            "less_than": lt_t.value if lt_t is not None else None,
+            "unique_lang": (
+                True if ul_t is not None and ul_t.value == "true" else None
+            ),
+            # language tags compare case-insensitively (BCP47)
+            "language_in": (
+                [t.value.lower() for t in g.rdf_list(li_t.value)]
+                if li_t is not None
+                else None
+            ),
+            "has_value": hv_t.value if hv_t is not None else None,
+            "min_length": _int_of(g.first(prop, SH + "minLength")),
+            "max_length": _int_of(g.first(prop, SH + "maxLength")),
+        }
+    )
+
+    def _slot(key: str, value) -> None:
+        """Place a logical/nested constraint on the first dict whose slot is
+        free, else append an extra row (conjunction semantics)."""
+        for d in out:
+            if d.get(key) is None:
+                d[key] = value
+                return
+        extra = dict(base)
+        extra[key] = value
+        out.append(extra)
+
+    # general sh:or — ALL sh:or objects are compiled (round-2 examined only
+    # the first and silently dropped non-datatype lists, ADVICE r2 #4);
+    # pure-datatype lists keep the cheaper datatype_in column path
+    for or_t in g.objects(prop, SH + "or"):
+        branch_terms = g.rdf_list(or_t.value)
+        if not branch_terms:
+            ctx.warnings.append(f"property {prop}: empty sh:or list ignored")
+            continue
+        branch_dts = [g.first(b.value, SH + "datatype") for b in branch_terms]
+        pure_datatype = all(d is not None for d in branch_dts) and all(
+            not g.objects(b.value, SH + "property")
+            and all(
+                p in (SH + "datatype",) or not p.startswith(SH)
+                for s, p, _ in g.triples
+                if s == b.value
+            )
+            for b in branch_terms
+        )
+        if pure_datatype and out[0].get("datatype_in") is None:
+            out[0]["datatype_in"] = [d.value for d in branch_dts]
+        else:
+            _slot("or_branches", [_branch_of(g, b, ctx) for b in branch_terms])
+    for and_t in g.objects(prop, SH + "and"):
+        _slot("and_branches", [_branch_of(g, b, ctx) for b in g.rdf_list(and_t.value)])
+    for xone_t in g.objects(prop, SH + "xone"):
+        _slot("xone_branches", [_branch_of(g, b, ctx) for b in g.rdf_list(xone_t.value)])
+    for not_t in g.objects(prop, SH + "not"):
+        _slot("not_branch", _branch_of(g, not_t, ctx))
+    for node_t in g.objects(prop, SH + "node"):
+        _slot("node_branch", _branch_of(g, node_t, ctx))
+    qvs_t = g.first(prop, SH + "qualifiedValueShape")
+    if qvs_t is not None:
+        out[0]["qvs_branch"] = _branch_of(g, qvs_t, ctx)
+        out[0]["q_min_count"] = _int_of(g.first(prop, SH + "qualifiedMinCount"))
+        out[0]["q_max_count"] = _int_of(g.first(prop, SH + "qualifiedMaxCount"))
+    return out
+
+
+def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
     """Compile a Turtle shapes graph into constraint-table rows.
 
     One output row per (node-shape target, property-shape constraint
     facet) — the long form lets each SHACL component be one DataFrame
     rule (SURVEY.md §2.8).  foaf:page doc links on shapes are carried
     onto rows (reference SHACLValidationService.ts:36,249-269).
+
+    Nested node shapes referenced by sh:node / logical branches compile to
+    target-less definition rows (``nested_under``); the validator evaluates
+    them recursively over the referencing constraint's value nodes.  Pass
+    ``warnings`` to receive notes on constructs that were dropped —
+    a compile with ``len(warnings) == 0`` ran with nothing skipped.
     """
+    warnings = warnings if warnings is not None else []
     g = parse_turtle(ttl)
+    ctx = _Ctx(warnings)
     rows: list[dict] = []
     cid = 0
-    # a shape may use any of the three targeting modes (class-based is the
-    # dominant DCAT-AP form; subjects-of and explicit-node are the other
-    # core SHACL target kinds) — one constraint row per (target, facet set)
+    # a shape may use any of the four targeting modes (class-based is the
+    # dominant DCAT-AP form) — one constraint row per (target, facet set)
     shapes_seen: dict[str, None] = {}
     for pred in ("targetClass", "targetSubjectsOf", "targetObjectsOf", "targetNode"):
         for shape in g.subjects_with(SH + pred):
@@ -456,112 +760,32 @@ def compile_shapes(ttl: str) -> list[dict]:
         foaf_page_t = g.first(shape, "http://xmlns.com/foaf/0.1/page")
         foaf_page = foaf_page_t.value if foaf_page_t is not None else None
         for prop_t in g.objects(shape, SH + "property"):
-            prop = prop_t.value
-            path_t = g.first(prop, SH + "path")
-            if path_t is None:
-                continue
-            steps = _path_steps(g, path_t)
-            rendered = render_path(steps)
-            severity = _severity_of(g.first(prop, SH + "severity"))
-            messages = [
-                {"text": m.value, "lang": (m.lang.lower().split("-")[0] if m.lang else None)}
-                for m in g.objects(prop, SH + "message")
-            ]
-            pattern_t = g.first(prop, SH + "pattern")
-            flags_t = g.first(prop, SH + "flags")
-            in_t = g.first(prop, SH + "in")
-            dt_t = g.first(prop, SH + "datatype")
-            nk_t = g.first(prop, SH + "nodeKind")
-            cls_t = g.first(prop, SH + "class")
-            # sh:or of pure-datatype branches → datatype alternative list
-            # (the DCAT-AP date-or-dateTime idiom); other sh:or forms are
-            # out of compiled scope
-            or_t = g.first(prop, SH + "or")
-            datatype_in = None
-            if or_t is not None:
-                branch_dts = [
-                    g.first(b.value, SH + "datatype")
-                    for b in g.rdf_list(or_t.value)
-                ]
-                if branch_dts and all(d is not None for d in branch_dts):
-                    datatype_in = [d.value for d in branch_dts]
-            lt_t = g.first(prop, SH + "lessThan")
-            ul_t = g.first(prop, SH + "uniqueLang")
-            li_t = g.first(prop, SH + "languageIn")
-            hv_t = g.first(prop, SH + "hasValue")
-            # foaf:page may also sit on the property shape itself
-            pp_t = g.first(prop, "http://xmlns.com/foaf/0.1/page")
-            for src_shape in [shape]:
+            for facets in _prop_constraints(g, prop_t.value, shape, ctx):
+                if facets["foaf_page"] is None:
+                    facets["foaf_page"] = foaf_page
                 for tkind, tval in shape_targets:
                     cid += 1
-                    rows.append(
-                        {
-                            "constraint_id": cid,
-                            "shape_iri": src_shape if prop.startswith("_:") else prop,
-                            "target_class": tval if tkind == "target_class" else None,
-                            "target_subjects_of": (
-                                tval if tkind == "target_subjects_of" else None
-                            ),
-                            "target_objects_of": (
-                                tval if tkind == "target_objects_of" else None
-                            ),
-                            "target_node": tval if tkind == "target_node" else None,
-                            "path": rendered,
-                            "path_steps": steps,
-                            "min_count": _int_of(g.first(prop, SH + "minCount")),
-                            "max_count": _int_of(g.first(prop, SH + "maxCount")),
-                            "datatype": dt_t.value if dt_t is not None else None,
-                            "datatype_in": datatype_in,
-                            "node_kind": (
-                                nk_t.value.rsplit("#", 1)[-1] if nk_t is not None else None
-                            ),
-                            "pattern": (
-                                compile_pattern(pattern_t.value, flags_t.value if flags_t else None)
-                                if pattern_t is not None
-                                else None
-                            ),
-                            "flags": flags_t.value if flags_t is not None else None,
-                            "in_list": (
-                                [t.value for t in g.rdf_list(in_t.value)]
-                                if in_t is not None
-                                else None
-                            ),
-                            "class_iri": cls_t.value if cls_t is not None else None,
-                            "min_inclusive": _float_of(g.first(prop, SH + "minInclusive")),
-                            "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
-                            "min_exclusive": _float_of(g.first(prop, SH + "minExclusive")),
-                            "max_exclusive": _float_of(g.first(prop, SH + "maxExclusive")),
-                            "less_than": lt_t.value if lt_t is not None else None,
-                            "unique_lang": (
-                                True
-                                if ul_t is not None and ul_t.value == "true"
-                                else None
-                            ),
-                            # language tags compare case-insensitively (BCP47)
-                            "language_in": (
-                                [t.value.lower() for t in g.rdf_list(li_t.value)]
-                                if li_t is not None
-                                else None
-                            ),
-                            "has_value": hv_t.value if hv_t is not None else None,
-                            "min_length": _int_of(g.first(prop, SH + "minLength")),
-                            "max_length": _int_of(g.first(prop, SH + "maxLength")),
-                            "severity": severity,
-                            "messages": messages or None,
-                            "foaf_page": (pp_t.value if pp_t is not None else foaf_page),
-                        }
-                    )
+                    row = dict(facets)
+                    row["constraint_id"] = cid
+                    row[tkind] = tval
+                    rows.append(row)
+    for d in ctx.defs:
+        cid += 1
+        row = dict(d)
+        row["constraint_id"] = cid
+        rows.append(row)
     return rows
 
 
-def compile_shape_files(ttls: list[str]) -> list[dict]:
+def compile_shape_files(ttls: list[str], warnings: list[str] | None = None) -> list[dict]:
     """Union of several shape files into one constraint table (U1) — the
     reference unions parsed quad sets per profile
     (SHACLValidationService.ts:124-134); here the union is row concatenation
-    with re-numbered constraint ids."""
+    with re-numbered constraint ids (nested-shape references are by shape
+    id, so renumbering is safe)."""
     rows: list[dict] = []
     for ttl in ttls:
-        for r in compile_shapes(ttl):
+        for r in compile_shapes(ttl, warnings):
             r = dict(r)
             r["constraint_id"] = len(rows) + 1
             rows.append(r)

@@ -161,10 +161,16 @@ def profile_shapes_ttl(profile: str) -> str:
     return PROFILES[profile]
 
 
-def compiled_profile(profile: str) -> list[dict]:
-    """Compiled constraint rows for a profile, cached per profile name —
-    the Spark analog of the reference's shaclShapesCache."""
-    rows = _shapes_cache.get(profile)
+def compiled_profile(profile: str, branch: str = "main") -> list[dict]:
+    """Compiled constraint rows for a profile, cached per (profile, branch)
+    — the Spark analog of the reference's shaclShapesCache, which keys on
+    both dimensions (SHACLValidationService.ts:115 ``cacheKey =
+    `${profile}_${branch}```).  The vendored suites carry a single revision,
+    so every branch resolves to the same TTLs today; the cache dimension
+    exists so a second vendored revision slots in without invalidating the
+    other branch's compiled rows."""
+    key = f"{profile}_{branch}"
+    rows = _shapes_cache.get(key)
     if rows is None:
         from .compiler import compile_shape_files
 
@@ -172,5 +178,5 @@ def compiled_profile(profile: str) -> list[dict]:
             rows = compile_shape_files(suite_ttls(profile))
         else:
             rows = compile_shape_files([PROFILES[profile]])
-        _shapes_cache[profile] = rows
+        _shapes_cache[key] = rows
     return rows

@@ -31,7 +31,11 @@ def triples_from_turtle(
                 o.value,
                 o.kind,
                 o.datatype,
-                (o.lang.lower().split("-")[0] if o.lang else None),
+                # full BCP47 tag, lowercased (RDF 1.1 canonical form) —
+                # languageIn/uniqueLang need the subtags; the reference's
+                # primary-subtag normalization (F4) applies to analytics
+                # only (functions/text.py normalize_lang)
+                (o.lang.lower() if o.lang else None),
                 graph,
             )
         )
@@ -100,7 +104,7 @@ def triples_from_rdfxml(
                     prop.text or "",
                     "literal",
                     dt or ("http://www.w3.org/2001/XMLSchema#string" if not lang else None),
-                    lang.lower().split("-")[0] if lang else None,
+                    lang.lower() if lang else None,
                     graph,
                 )
             )
@@ -166,7 +170,7 @@ def triples_from_jsonld(
                                 if not lang
                                 else None
                             ),
-                            lang.lower().split("-")[0] if lang else None,
+                            lang.lower() if lang else None,
                             graph,
                         )
                     )

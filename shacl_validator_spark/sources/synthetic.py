@@ -190,6 +190,30 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("de").alias("object_lang"),
             F.lit("synthetic").alias("graph"),
         ),
+        # nation detail triples for the nested/path constraint fixtures:
+        # ex:iso only on even nations → sh:node(NationShape{ex:iso minCount 1})
+        # fires per customer of an odd nation; ex:partof edges (even nations
+        # → region) feed the ex:nation/ex:partof* zeroOrMore path
+        nation.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.format_string("nation:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(EX + "iso").alias("predicate"),
+            F.upper(F.substring(F.col("n_name"), 1, 3)).alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        nation.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.format_string("nation:%d", F.col("n_nationkey")).alias("subject"),
+            F.lit(EX + "partof").alias("predicate"),
+            F.format_string("region:%d", F.col("n_nationkey") % 5).alias(
+                "object_value"
+            ),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
         # ex:homepage — IRI except % 7 == 0 which is a literal → nodeKind IRI
         cust.select(
             subj.alias("subject"),
@@ -506,12 +530,34 @@ def customer_constraints() -> list[dict]:
             "has_value": None,
             "min_length": None,
             "max_length": None,
+            "node_branch": None,
+            "or_branches": None,
+            "and_branches": None,
+            "xone_branches": None,
+            "not_branch": None,
+            "qvs_branch": None,
+            "q_min_count": None,
+            "q_max_count": None,
+            "nested_under": None,
             "severity": "Violation",
             "messages": None,
             "foaf_page": None,
         }
         base.update(kw)
         return base
+
+    def branch(**kw):
+        b = {
+            "datatype": None,
+            "node_kind": None,
+            "class_iri": None,
+            "pattern": None,
+            "min_length": None,
+            "max_length": None,
+            "node_ref": None,
+        }
+        b.update(kw)
+        return b
 
     return [
         row(1, path=EX + "goodbal", path_steps=[[EX + "goodbal"]], min_count=1),
@@ -611,5 +657,92 @@ def customer_constraints() -> list[dict]:
                 "http://www.w3.org/2001/XMLSchema#dateTime",
             ],
             severity="Info",
+        ),
+        # general sh:or over non-datatype branches: acctbal must match the
+        # unsigned-decimal pattern OR be a blank node — fires for negatives
+        row(
+            18,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            or_branches=[
+                branch(pattern="^[0-9]+\\.[0-9][0-9]$"),
+                branch(node_kind="BlankNode"),
+            ],
+            severity="Warning",
+        ),
+        # sh:node → nested NationShape requiring ex:iso (present only on
+        # even nations) — fires per customer of an odd nation
+        row(
+            19,
+            path=EX + "nation",
+            path_steps=[[EX + "nation"]],
+            node_branch=branch(node_ref=EX + "NationShape"),
+        ),
+        # sh:qualifiedValueShape(pattern '^dup ') qualifiedMinCount 1 on
+        # ex:label — fires for customers without a second 'dup ' label
+        row(
+            20,
+            path=EX + "label",
+            path_steps=[[EX + "label"]],
+            qvs_branch=branch(pattern="^dup "),
+            q_min_count=1,
+            severity="Info",
+        ),
+        # sh:not(pattern '^de ') on ex:label — the @de labels conform to the
+        # inner shape, so exactly those values violate
+        row(
+            21,
+            path=EX + "label",
+            path_steps=[[EX + "label"]],
+            not_branch=branch(pattern="^de "),
+            severity="Warning",
+        ),
+        # sh:and(minLength 9, pattern uppercase) on ex:segment — BUILDING
+        # (8 chars) fails the first operand
+        row(
+            22,
+            path=EX + "segment",
+            path_steps=[[EX + "segment"]],
+            and_branches=[branch(min_length=9), branch(pattern="^[A-Z]+$")],
+            severity="Info",
+        ),
+        # sh:xone(pattern '^2024', maxLength 4) on ex:regdate — valid dates
+        # match exactly the pattern branch; 'not-a-date' matches neither
+        row(
+            23,
+            path=EX + "regdate",
+            path_steps=[[EX + "regdate"]],
+            xone_branches=[branch(pattern="^2024"), branch(max_length=4)],
+            severity="Warning",
+        ),
+        # inverse path: nations (typed, k<15) with too many in-linking
+        # customers — path ^ex:nation, maxCount 18
+        row(
+            24,
+            shape_iri=EX + "NationInvShape",
+            target_class=EX + "Nation",
+            path="^" + EX + "nation",
+            path_steps=[["^" + EX + "nation"]],
+            max_count=18,
+            severity="Info",
+        ),
+        # zeroOrMore path: ex:nation/ex:partof* must reach region:0 —
+        # holds only for customers whose nation is even AND ≡0 (mod 5)
+        row(
+            25,
+            path=EX + "nation/" + EX + "partof*",
+            path_steps=[[EX + "nation"], ["*" + EX + "partof"]],
+            has_value="region:0",
+            severity="Info",
+        ),
+        # nested NationShape definition (no targets; referenced by row 19)
+        row(
+            26,
+            shape_iri=EX + "NationShape",
+            target_class=None,
+            nested_under=EX + "NationShape",
+            path=EX + "iso",
+            path_steps=[[EX + "iso"]],
+            min_count=1,
         ),
     ]

@@ -14,3 +14,11 @@ def spark():
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_ORACLE = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "oracle_coverage: oracle-checks queries unsampled by the driver's "
+        "latest CORRECTNESS file (tools/check_oracles.py at sf0.01)",
+    )

@@ -291,3 +291,71 @@ def test_cosine_near_dup_lsh_blocks_subset_of_exact(spark):
     assert blocked <= exact
     identical = {(r.vec_id, r.vec_id + 1000000) for r in emb.collect()}
     assert identical <= blocked
+
+
+def test_cosine_near_dup_banded_recall(spark):
+    """VERDICT r3 #3 done-criteria: banded multi-table blocking keeps
+    embedding near-dup green AND reaches high recall vs exact at 0.95 with
+    bounded bucket sizes (expected recall 1-(1-p^r)^b ≈ 0.986)."""
+    from shacl_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # perturbed copies: scale each component slightly so cos stays ≈ 1
+    near = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(near)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(corpus, 0.95, exact=True).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(corpus, 0.95).collect()
+    }
+    assert blocked <= exact
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"banded recall {recall:.3f} below bound"
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """VERDICT r3 #4: a boilerplate bucket (many docs sharing every band)
+    is dropped from candidate generation instead of going quadratic."""
+    from shacl_validator_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "identical boilerplate header text repeated verbatim " * 5)
+              for i in range(200)]
+    normal = [
+        (1000, "a unique document about spark adaptive execution plans"),
+        (1001, "a unique document about spark adaptive execution strategy"),
+    ]
+    docs = spark.createDataFrame(boiler + normal, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket=50).collect()
+    }
+    # the 200-doc boilerplate bucket (19 900 pairs) is guarded away; the
+    # normal near-dup pair survives because its buckets are small
+    assert (1000, 1001) in pairs
+    assert not any(a < 200 and b < 200 for a, b in pairs)
+
+
+def test_minhash_big_set_verify_path_equivalent(docs):
+    """The exploded posting-join verify (big shingle sets) must produce
+    byte-identical jaccard results to the in-row array path."""
+    from shacl_validator_spark.operators.dedup import minhash_lsh_pairs
+
+    small = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    forced_big = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, big_set_threshold=1
+        ).collect()
+    }
+    assert small == forced_big and small

@@ -136,3 +136,33 @@ def test_pipeline_empty_and_factless_inputs(spark, tmp_path):
     pages = synthesize_pages(spark, 50, filler_sentences=6, fact_density=0.0)
     res1 = run_pipeline(spark, pages, out1, n_groups=1)
     assert res1.triples_in == 0 and res1.violations == 0
+
+
+def test_prune_lineage_caps_history(tmp_path):
+    """Last-10 history-cap parity (reference ValidationResults.tsx:246)."""
+    import json
+
+    from shacl_validator_spark.plans.pipeline import prune_lineage
+
+    out = tmp_path / "kg"
+    out.mkdir()
+    rows = [json.dumps({"partition_key": f"grp={i}", "triples_in": i}) for i in range(25)]
+    (out / "lineage.jsonl").write_text("\n".join(rows) + "\n")
+    dropped = prune_lineage(str(out), keep=10)
+    assert dropped == 15
+    kept = [json.loads(ln) for ln in (out / "lineage.jsonl").read_text().splitlines()]
+    assert [r["triples_in"] for r in kept] == list(range(15, 25))
+    # idempotent below the cap
+    assert prune_lineage(str(out), keep=10) == 0
+
+
+def test_compiled_profile_branch_cache_dimension():
+    """(profile, branch) cache key parity (SHACLValidationService.ts:115)."""
+    from shacl_validator_spark.shapes import profiles
+
+    a = profiles.compiled_profile("dcat_ap_es")
+    b = profiles.compiled_profile("dcat_ap_es", branch="main")
+    c = profiles.compiled_profile("dcat_ap_es", branch="develop")
+    assert a is b  # same (profile, branch) → cached object
+    assert c is not a and len(c) == len(a)  # distinct cache slot per branch
+    assert "dcat_ap_es_develop" in profiles._shapes_cache

@@ -307,3 +307,37 @@ def test_many_constraints_literal_maps(spark):
     assert "MinCountConstraintComponent" in comps
     assert "PatternConstraintComponent" in comps
     assert out.count() > 50
+
+
+def test_hub_focus_node_bounded_rows(spark):
+    """VERDICT r2 #1 de-skew criteria: one focus node with 10^6 violating
+    values must validate without assembling a per-focus hit array — value
+    hits explode from the per-value cascade level, so no aggregation buffer
+    ever holds more than one row's worth of hits."""
+    from pyspark.sql import functions as F
+
+    from shacl_validator_spark.operators.validate import validate
+
+    n = 1_000_000
+    triples = spark.range(n).select(
+        F.lit("hub:1").alias("subject"),
+        F.lit("ex:v").alias("predicate"),
+        F.concat(F.lit("bad"), F.col("id").cast("string")).alias("object_value"),
+        F.lit("literal").alias("object_type"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit("g").alias("graph"),
+    )
+    rows = [
+        {
+            "constraint_id": 1,
+            "shape_iri": "ex:HubShape",
+            "target_subjects_of": "ex:v",
+            "path": "ex:v",
+            "path_steps": [["ex:v"]],
+            "pattern": "^good",
+            "severity": "Violation",
+        }
+    ]
+    out = validate(spark, triples, rows, broadcast_rows=0)
+    assert out.count() == n
