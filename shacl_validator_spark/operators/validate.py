@@ -306,17 +306,22 @@ def _closure(
 ) -> DataFrame:
     """sh:zeroOrMorePath / sh:oneOrMorePath as a bounded frontier expansion.
 
-    ``depth`` join rounds (spark.kg.validate.pathDepth, default 6) unroll
+    ``depth`` join rounds (spark.kg.validate.pathDepth, default 4) unroll
     the closure; zero-or-more includes the start nodes themselves (SHACL
-    property-paths: zero repetitions yields the focus node).  Each round
-    deduplicates the frontier so cycles cannot grow it past the distinct
-    reachable set."""
+    property-paths: zero repetitions yields the focus node).  The frontier
+    deduplicates every second round and once at the end — each dedup is a
+    shuffle, and deduping every round doubled the closure's stage count for
+    a growth bound the every-other-round cadence already provides (diamond
+    fan-out can at most square between dedups; cycles cannot outrun the
+    fixed depth)."""
     hop_alts = [("^" if "^" in mods else "", pred)]
     include_start = "*" in mods
     reached = frontier if include_start else None
     cur = frontier
-    for _ in range(depth):
-        cur = _hop(triples, cur, hop_alts).dropDuplicates(_FRONTIER_COLS)
+    for i in range(depth):
+        cur = _hop(triples, cur, hop_alts)
+        if i % 2 == 1:
+            cur = cur.dropDuplicates(_FRONTIER_COLS)
         reached = cur if reached is None else reached.unionByName(cur)
     return reached.dropDuplicates(_FRONTIER_COLS)
 
@@ -546,7 +551,7 @@ def _eval(
         if not _is_plain_single(r["path_steps"]):
             sig = tuple(tuple(s) for s in r["path_steps"])
             sig_groups.setdefault(sig, []).append(r["constraint_id"])
-    path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "6"))
+    path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "4"))
     for sig, ids in sig_groups.items():
         frontier = targets.filter(F.col("constraint_id").isin(ids)).select(
             "constraint_id",
@@ -815,7 +820,18 @@ def _eval(
                 | ~F.coalesce(F.try_element_at(bad_map, b["node_ref"]), F.lit(False))
             )
         )
-    checks = F.array(
+    # Per-row check slots are added ONLY for facets some constraint row
+    # actually carries: the checks are correct unconditionally (every hit is
+    # guarded by its facet's isNotNull), but each slot costs whole-stage
+    # codegen size, and the LessThan slot additionally costs a per-row
+    # try_to_timestamp that codegen CSE may hoist past the short-circuit —
+    # so a branch-free shape set (e.g. the DCAT-AP-ES profile suite)
+    # compiles to the same lean plan it had before the logical surface
+    # existed.
+    def _has(key: str) -> bool:
+        return any(r.get(key) is not None for r in rows)
+
+    check_cols = [
         _hit(
             F.col("datatype").isNotNull()
             & (
@@ -883,26 +899,6 @@ def _eval(
             & (num.isNull() | (num >= F.col("max_exclusive"))),
             "MaxExclusive",
         ),
-        # SPARQL-'<' comparison domains: both sides numeric, both dateTime,
-        # or both plain strings compare within the domain; mixed domains or
-        # non-literals are a comparison failure → violation
-        _hit(
-            F.col("less_than").isNotNull()
-            & F.col("_lt_n").isNotNull()
-            & (
-                (F.size("_lt_kinds") > 1)
-                | F.array_contains("_lt_kinds", "bad")
-                | (v_kind == "bad")
-                | (v_kind != F.element_at("_lt_kinds", 1))
-                | ((v_kind == "num") & (num >= F.col("_lt_min_num")))
-                | ((v_kind == "ts") & (v_ts >= F.col("_lt_min_ts")))
-                | (
-                    (v_kind == "str")
-                    & (F.col("object_value") >= F.col("_lt_min_str"))
-                )
-            ),
-            "LessThan",
-        ),
         # sh:languageIn: value must be a language-tagged literal whose tag
         # matches some range in the list with langMatches prefix semantics —
         # equal, or extending the range at a subtag boundary ('en-US'
@@ -950,31 +946,71 @@ def _eval(
             ),
             "Class",
         ),
-        # --- logical / nested components (SHACL core §4.6-4.7) ------------
-        _hit(
-            F.col("node_branch").isNotNull() & ~_branch_conf(F.col("node_branch")),
-            "Node",
-        ),
-        _hit(
-            F.col("or_branches").isNotNull()
-            & ~F.exists(F.col("or_branches"), _branch_conf),
-            "Or",
-        ),
-        _hit(
-            F.col("and_branches").isNotNull()
-            & F.exists(F.col("and_branches"), lambda b: ~_branch_conf(b)),
-            "And",
-        ),
-        _hit(
-            F.col("xone_branches").isNotNull()
-            & (F.size(F.filter(F.col("xone_branches"), _branch_conf)) != 1),
-            "Xone",
-        ),
-        _hit(
-            F.col("not_branch").isNotNull() & _branch_conf(F.col("not_branch")),
-            "Not",
-        ),
-    )
+    ]
+    if lt_by_pred:
+        # SPARQL-'<' comparison domains: both sides numeric, both dateTime,
+        # or both plain strings compare within the domain; mixed domains or
+        # non-literals are a comparison failure → violation
+        check_cols.append(
+            _hit(
+                F.col("less_than").isNotNull()
+                & F.col("_lt_n").isNotNull()
+                & (
+                    (F.size("_lt_kinds") > 1)
+                    | F.array_contains("_lt_kinds", "bad")
+                    | (v_kind == "bad")
+                    | (v_kind != F.element_at("_lt_kinds", 1))
+                    | ((v_kind == "num") & (num >= F.col("_lt_min_num")))
+                    | ((v_kind == "ts") & (v_ts >= F.col("_lt_min_ts")))
+                    | (
+                        (v_kind == "str")
+                        & (F.col("object_value") >= F.col("_lt_min_str"))
+                    )
+                ),
+                "LessThan",
+            )
+        )
+    # --- logical / nested components (SHACL core §4.6-4.7) ----------------
+    if _has("node_branch"):
+        check_cols.append(
+            _hit(
+                F.col("node_branch").isNotNull()
+                & ~_branch_conf(F.col("node_branch")),
+                "Node",
+            )
+        )
+    if _has("or_branches"):
+        check_cols.append(
+            _hit(
+                F.col("or_branches").isNotNull()
+                & ~F.exists(F.col("or_branches"), _branch_conf),
+                "Or",
+            )
+        )
+    if _has("and_branches"):
+        check_cols.append(
+            _hit(
+                F.col("and_branches").isNotNull()
+                & F.exists(F.col("and_branches"), lambda b: ~_branch_conf(b)),
+                "And",
+            )
+        )
+    if _has("xone_branches"):
+        check_cols.append(
+            _hit(
+                F.col("xone_branches").isNotNull()
+                & (F.size(F.filter(F.col("xone_branches"), _branch_conf)) != 1),
+                "Xone",
+            )
+        )
+    if _has("not_branch"):
+        check_cols.append(
+            _hit(
+                F.col("not_branch").isNotNull() & _branch_conf(F.col("not_branch")),
+                "Not",
+            )
+        )
+    checks = F.array(*check_cols)
     hit_structs = F.transform(
         F.filter(checks, lambda c: c.isNotNull()),
         lambda c: F.struct(c.alias("comp"), F.col("object_value").alias("v")),
@@ -998,8 +1034,12 @@ def _eval(
             ).alias("_hv"),
             # sh:qualifiedValueShape conformance flag per value node
             (
-                F.col("qvs_branch").isNotNull()
-                & _branch_conf(F.col("qvs_branch"))
+                (
+                    F.col("qvs_branch").isNotNull()
+                    & _branch_conf(F.col("qvs_branch"))
+                )
+                if _has("qvs_branch")
+                else F.lit(False)
             ).alias("_q"),
         )
         .groupBy(
@@ -1072,7 +1112,7 @@ def _eval(
             ),
         ).otherwise(F.lit(None).cast(VS))
 
-    focus_checks = F.array(
+    focus_check_cols = [
         _vio(
             F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count")),
             "MinCount",
@@ -1089,21 +1129,27 @@ def _eval(
             & (F.coalesce(F.col("_hv_found"), F.lit(0)) == 0),
             "HasValue",
         ),
+    ]
+    if _has("qvs_branch"):
         # sh:qualifiedMin/MaxCount over value nodes conforming to the
         # qualified shape (zero-value focus nodes ⇒ n_q 0 ⇒ min fires)
-        _vio(
-            F.col("qvs_branch").isNotNull()
-            & F.col("q_min_count").isNotNull()
-            & (F.col("n_q") < F.col("q_min_count")),
-            "QualifiedMinCount",
-        ),
-        _vio(
-            F.col("qvs_branch").isNotNull()
-            & F.col("q_max_count").isNotNull()
-            & (F.col("n_q") > F.col("q_max_count")),
-            "QualifiedMaxCount",
-        ),
-    )
+        focus_check_cols.extend(
+            [
+                _vio(
+                    F.col("qvs_branch").isNotNull()
+                    & F.col("q_min_count").isNotNull()
+                    & (F.col("n_q") < F.col("q_min_count")),
+                    "QualifiedMinCount",
+                ),
+                _vio(
+                    F.col("qvs_branch").isNotNull()
+                    & F.col("q_max_count").isNotNull()
+                    & (F.col("n_q") > F.col("q_max_count")),
+                    "QualifiedMaxCount",
+                ),
+            ]
+        )
+    focus_checks = F.array(*focus_check_cols)
     exploded = agg.select(
         *agg.columns,
         F.explode(F.filter(focus_checks, lambda x: x.isNotNull())).alias("_vio"),
