@@ -499,6 +499,25 @@ def _has_branch_class(r: dict) -> bool:
     return False
 
 
+def _level_classes(rows: list[dict]) -> set[str]:
+    """Every class IRI a check at this evaluation level can ask about —
+    plain sh:class facets plus class branches of the logical components
+    (the exact surface `_has_branch_class` detects)."""
+    out: set[str] = set()
+    for r in rows:
+        if r.get("class_iri"):
+            out.add(r["class_iri"])
+        for key in ("node_branch", "not_branch", "qvs_branch"):
+            b = r.get(key)
+            if b and b.get("class_iri"):
+                out.add(b["class_iri"])
+        for key in ("or_branches", "and_branches", "xone_branches"):
+            for b in r.get(key) or []:
+                if b.get("class_iri"):
+                    out.add(b["class_iri"])
+    return out
+
+
 def _eval(
     spark: SparkSession,
     triples: DataFrame,
@@ -622,8 +641,16 @@ def _eval(
     # joined unconditionally), and gated on its own probed size.
     class_needed = any(r.get("class_iri") or _has_branch_class(r) for r in rows)
     if class_needed:
-        node_classes = types.groupBy(F.col("subject").alias("t_node")).agg(
-            F.collect_set("cls").alias("t_classes")
+        # Shapes reference a FIXED set of classes — pruning the type relation
+        # to them before the aggregation turns a corpus-wide (every typed
+        # node) groupBy into one over only instances of the checked classes,
+        # and the filter pushes down to the type scan.  array_contains on the
+        # pruned sets is unchanged for every class a check can ask about.
+        wanted = sorted(_level_classes(rows))
+        node_classes = (
+            types.filter(F.col("cls").isin(wanted))
+            .groupBy(F.col("subject").alias("t_node"))
+            .agg(F.collect_set("cls").alias("t_classes"))
         )
         gated_nc = F.broadcast(node_classes) if types_small else node_classes
         values = values.join(
