@@ -185,20 +185,27 @@ def minhash_lsh_pairs(
     # verify via an exploded posting join whose intersection count
     # aggregates map-side — the arrays of long documents never ride a
     # shuffle in full.
-    hs = per_doc.select("_id", "hset", F.size("hset").alias("_sz"))
-    sizes = hs.select("_id", "_sz")
+    # ONE join per pair side: the shingle array rides only when the doc is
+    # under the size cap (nulled at source otherwise), so big arrays never
+    # enter the join payload and the small/big routing needs no second
+    # sizes-only join pass.
+    hs = per_doc.select(
+        "_id",
+        F.size("hset").alias("_sz"),
+        F.when(F.size("hset") <= big_set_threshold, F.col("hset")).alias("hsmall"),
+    )
     cand_sized = (
-        cand.join(sizes.withColumnsRenamed({"_id": "id_a", "_sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_sz": "sz_b"}), "id_b")
+        cand.join(
+            hs.withColumnsRenamed({"_id": "id_a", "_sz": "sz_a", "hsmall": "sh_a"}),
+            "id_a",
+        ).join(
+            hs.withColumnsRenamed({"_id": "id_b", "_sz": "sz_b", "hsmall": "sh_b"}),
+            "id_b",
+        )
     )
-    small_pair = (F.col("sz_a") <= big_set_threshold) & (
-        F.col("sz_b") <= big_set_threshold
-    )
-    arrays = hs.select("_id", "hset")
+    small_pair = F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull()
     verified_small = (
         cand_sized.filter(small_pair)
-        .join(arrays.withColumnsRenamed({"_id": "id_a", "hset": "sh_a"}), "id_a")
-        .join(arrays.withColumnsRenamed({"_id": "id_b", "hset": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -207,7 +214,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    big_cand = cand_sized.filter(~small_pair)
+    big_cand = cand_sized.filter(~small_pair).select("id_a", "id_b", "sz_a", "sz_b")
     ex = per_doc.select("_id", F.explode("hset").alias("h"))
     inter = (
         big_cand.select("id_a", "id_b", "sz_a", "sz_b")

@@ -304,25 +304,68 @@ def _hop(triples: DataFrame, frontier: DataFrame, alts: list[tuple[str, str]]) -
 def _closure(
     triples: DataFrame, frontier: DataFrame, mods: str, pred: str, depth: int
 ) -> DataFrame:
-    """sh:zeroOrMorePath / sh:oneOrMorePath as a bounded frontier expansion.
+    """sh:zeroOrMorePath / sh:oneOrMorePath as a bounded EDGE closure.
 
-    ``depth`` join rounds (spark.kg.validate.pathDepth, default 4) unroll
-    the closure; zero-or-more includes the start nodes themselves (SHACL
-    property-paths: zero repetitions yields the focus node).  The frontier
-    deduplicates every second round and once at the end — each dedup is a
-    shuffle, and deduping every round doubled the closure's stage count for
-    a growth bound the every-other-round cadence already provides (diamond
-    fan-out can at most square between dedups; cycles cannot outrun the
-    fixed depth)."""
-    hop_alts = [("^" if "^" in mods else "", pred)]
-    include_start = "*" in mods
-    reached = frontier if include_start else None
-    cur = frontier
-    for i in range(depth):
-        cur = _hop(triples, cur, hop_alts)
-        if i % 2 == 1:
-            cur = cur.dropDuplicates(_FRONTIER_COLS)
-        reached = cur if reached is None else reached.unionByName(cur)
+    The closure is evaluated on the edge relation itself — the triples of
+    the closure predicate — by repeated squaring (R₂ₖ = Rₖ ∪ Rₖ∘Rₖ), then
+    applied to the frontier with ONE join.  ⌈log₂ depth⌉ self-joins of the
+    edge relation replace ``depth`` sequential frontier-wide join rounds:
+    closure predicates are hierarchy edges (partOf, skos:broader) — a
+    dimension-sized relation, orders of magnitude smaller than the
+    corpus-wide frontier the previous formulation shuffled once per hop.
+    AQE picks broadcast vs shuffle per squaring at runtime; reachable-pair
+    growth is bounded by the same fixed ``depth``
+    (spark.kg.validate.pathDepth, default 4) as the hop-iterated form.
+
+    Path-length semantics: lengths 1..depth (depth rounding UP to a power
+    of two — squaring doubles the bound per round; extra reach only brings
+    the bounded unroll closer to true closure semantics), plus length 0
+    (the focus node itself) for zero-or-more.  Node metadata (term kind,
+    datatype, lang) comes from the FINAL edge of each path, exactly as the
+    last hop produced it before."""
+    if "^" in mods:
+        edges = triples.filter(F.col("predicate") == pred).select(
+            F.col("object_value").alias("_src"),
+            F.col("subject").alias("_dst"),
+            _node_type(F.col("subject")).alias("_dt"),
+            F.lit(None).cast("string").alias("_dd"),
+            F.lit(None).cast("string").alias("_dl"),
+        )
+    else:
+        edges = triples.filter(F.col("predicate") == pred).select(
+            F.col("subject").alias("_src"),
+            F.col("object_value").alias("_dst"),
+            F.col("object_type").alias("_dt"),
+            F.col("object_datatype").alias("_dd"),
+            F.col("object_lang").alias("_dl"),
+        )
+    reach = edges
+    length = 1
+    while length < depth:
+        # Rₖ∘Rₖ: lengths k+1..2k; union with Rₖ gives 1..2k.  The dedup
+        # bounds diamond fan-out before the next squaring.
+        nxt = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l._dst") == F.col("r._src"))
+            .select(
+                F.col("l._src").alias("_src"),
+                F.col("r._dst").alias("_dst"),
+                F.col("r._dt").alias("_dt"),
+                F.col("r._dd").alias("_dd"),
+                F.col("r._dl").alias("_dl"),
+            )
+        )
+        reach = reach.unionByName(nxt).dropDuplicates()
+        length *= 2
+    stepped = frontier.join(reach, frontier["node"] == reach["_src"]).select(
+        "constraint_id",
+        "focusNode",
+        F.col("_dst").alias("node"),
+        F.col("_dt").alias("object_type"),
+        F.col("_dd").alias("object_datatype"),
+        F.col("_dl").alias("object_lang"),
+    )
+    reached = frontier.unionByName(stepped) if "*" in mods else stepped
     return reached.dropDuplicates(_FRONTIER_COLS)
 
 
@@ -737,11 +780,31 @@ def _eval(
             if not sub_rows:
                 values = values.withColumn(flag, F.lit(False))
             else:
-                nodes = (
-                    values.filter(F.col("constraint_id").isin(cids))
-                    .select("object_value")
-                    .dropDuplicates()
-                )
+                # Nested targets derive from the RAW values, not the
+                # assembled stream: conformance of a value node to shape N
+                # is independent of which focus referenced it, so skipping
+                # the targets/facets/node-class/lessThan joins evaluates a
+                # harmless superset (values of non-targeted focus nodes) on
+                # a subtree that is one pushed-down scan instead of the full
+                # value-stream assembly recomputed per reference.  When
+                # every referencing constraint has a plain single-step path,
+                # that scan prunes to just those predicates; otherwise the
+                # raw union (vals) filtered by constraint serves the
+                # general-path references.
+                ref_rows = [r for r in rows if r["constraint_id"] in cids]
+                if all(_is_plain_single(r["path_steps"]) for r in ref_rows):
+                    preds = sorted({p for r in ref_rows for p in r["path_steps"][0]})
+                    nodes = (
+                        triples.filter(F.col("predicate").isin(preds))
+                        .select("object_value")
+                        .dropDuplicates()
+                    )
+                else:
+                    nodes = (
+                        vals.filter(F.col("constraint_id").isin(cids))
+                        .select("object_value")
+                        .dropDuplicates()
+                    )
                 sub_targets = nodes.select(
                     F.explode(
                         F.array(*[F.lit(d["constraint_id"]).cast("long") for d in sub_rows])
