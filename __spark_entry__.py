@@ -1368,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent', 'Violation',
                'http://www.w3.org/ns/dcat#endpointURL', COUNT(*) FROM g
         WHERE k % 2 = 0 AND k % 10 = 0
+        UNION ALL
+        -- the k%11 datasets (not already on the k%4 ORG_BAD publisher)
+        -- point at a dangling DIR3 IRI: untyped -> sh:class foaf:Agent,
+        -- and nameless -> the published-form sh:node es:AgentNodeShape
+        SELECT 'http://www.w3.org/ns/shacl#ClassConstraintComponent', 'Violation',
+               'http://purl.org/dc/terms/publisher', COUNT(*) FROM g
+        WHERE k % 11 = 0 AND k % 4 != 0
+        UNION ALL
+        SELECT 'http://www.w3.org/ns/shacl#NodeConstraintComponent', 'Violation',
+               'http://purl.org/dc/terms/publisher', COUNT(*) FROM g
+        WHERE k % 11 = 0 AND k % 4 != 0
     """
 
     sql["tpch_q1"] = """

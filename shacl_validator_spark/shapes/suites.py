@@ -168,6 +168,7 @@ es:DatasetShape a sh:NodeShape ;
         sh:maxCount 1 ;
         sh:nodeKind sh:IRI ;
         sh:class foaf:Agent ;
+        sh:node es:AgentNodeShape ;
         sh:severity sh:Violation ;
     ] ;
     sh:property [
@@ -179,13 +180,15 @@ es:DatasetShape a sh:NodeShape ;
     sh:property [
         sh:path dct:issued ;
         sh:maxCount 1 ;
-        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ] ) ;
+        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ]
+                [ sh:datatype xsd:gYear ] [ sh:datatype xsd:gYearMonth ] ) ;
         sh:severity sh:Warning ;
     ] ;
     sh:property [
         sh:path dct:modified ;
         sh:maxCount 1 ;
-        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ] ) ;
+        sh:or ( [ sh:datatype xsd:date ] [ sh:datatype xsd:dateTime ]
+                [ sh:datatype xsd:gYear ] [ sh:datatype xsd:gYearMonth ] ) ;
         sh:severity sh:Warning ;
     ] ;
     sh:property [
@@ -208,6 +211,18 @@ es:DatasetShape a sh:NodeShape ;
         sh:path dcat:contactPoint ;
         sh:nodeKind sh:BlankNodeOrIRI ;
         sh:severity sh:Info ;
+    ] .
+
+# The published SEMIC Agent shape form: NO target class — reached only
+# through sh:node references (shapes.ttl :Agent_Shape); the targeted
+# es:AgentShape in shacl_common_shapes.ttl additionally covers nodes
+# explicitly typed foaf:Agent.
+es:AgentNodeShape a sh:NodeShape ;
+    sh:property [
+        sh:path foaf:name ;
+        sh:minCount 1 ;
+        sh:severity sh:Violation ;
+        sh:message "A referenced agent must have a foaf:name"@en ;
     ] .
 """
 

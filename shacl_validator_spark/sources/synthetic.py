@@ -379,6 +379,11 @@ def nation_dcat_es_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT = "https://datos.gob.es/catalogo"
     ORG_OK = "http://datos.gob.es/recurso/sector-publico/org/Organismo/E00000001"
     ORG_BAD = "https://example.org/org/bad"
+    # dangling publisher: DIR3-patterned IRI with NO type and NO foaf:name —
+    # trips the dataset shape's sh:class foaf:Agent AND the published-form
+    # sh:node es:AgentNodeShape (nameless agent), while passing the DIR3
+    # SPARQL rule (prefix matches) so its count stays k%4-only
+    ORG_NONAME = "http://datos.gob.es/recurso/sector-publico/org/Organismo/E00000099"
     THEME_OK = "http://publications.europa.eu/resource/authority/data-theme/ECON"
     THEME_BAD = "https://example.org/theme/bad"
     LANG_SPA = "http://publications.europa.eu/resource/authority/language/SPA"
@@ -444,7 +449,9 @@ def nation_dcat_es_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation,
             ds,
             DCT + "publisher",
-            F.when(k % 4 == 0, ORG_BAD).otherwise(ORG_OK),
+            F.when(k % 4 == 0, ORG_BAD)
+            .when(k % 11 == 0, ORG_NONAME)
+            .otherwise(ORG_OK),
             "iri",
         ),
         t(nation, ds, DCAT + "distribution", dist, "iri"),
