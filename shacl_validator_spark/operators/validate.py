@@ -461,6 +461,7 @@ def validate(
     triples: DataFrame,
     constraint_rows: list[dict],
     broadcast_rows: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Run every compiled constraint against the triples table.
 
@@ -514,6 +515,21 @@ def validate(
         return broadcast_rows > 0 and (
             broadcast_rows >= 2**31 - 1 or df.limit(probe_n).count() <= broadcast_rows
         )
+
+    # ``input_rows`` is a caller-supplied size hint (the pipeline already
+    # knows its typed-triple count from parquet footers): when the WORST
+    # CASE bound — every triple targeting every top constraint — fits under
+    # the gate, both probe jobs are provably unnecessary and skipped.
+    # Above the bound the probes run as usual; 0/None disables the hint.
+    if input_rows is not None and 0 < broadcast_rows < 2**31 - 1:
+        if input_rows * max(1, len(top)) <= broadcast_rows:
+            class_needed = any(
+                r.get("class_iri") or _has_branch_class(r) for r in constraint_rows
+            )
+            return _eval(
+                spark, triples, top, defs, targets, types,
+                small=True, types_small=class_needed, depth=0,
+            )
 
     small = _probe_small(targets)
     # the node→classes lookup is gated on ITS OWN size, not the target

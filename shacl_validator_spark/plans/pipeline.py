@@ -348,7 +348,13 @@ def run_pipeline(
         # body per partition group), not scratch — they live under
         # out_dir/reports and survive the scratch cleanup below
         report_path = os.path.join(out_dir, "reports", key)
-        validate(spark, triples, shapes).write.mode("overwrite").parquet(report_path)
+        # parquet-footer count (metadata read) doubles as the validator's
+        # size hint — under the broadcast gate's worst-case bound it skips
+        # both bounded probe jobs the validator would otherwise run
+        n_in = triples.count()
+        validate(spark, triples, shapes, input_rows=n_in).write.mode(
+            "overwrite"
+        ).parquet(report_path)
         violations = spark.read.schema(VIOLATION_SCHEMA).parquet(report_path)
         t0 = _bump("validate", t0)
 
@@ -362,8 +368,8 @@ def run_pipeline(
         conformant = triples.join(bad_focus, "subject", "left_anti")
 
         t0 = time.time()
-        # parquet-footer counts — metadata reads, not scans
-        n_in = triples.count()
+        # parquet-footer counts — metadata reads, not scans (n_in counted
+        # above, before validate)
         n_viol = violations.count()
         n_valid = conformant.count()
         # the MERGE + lineage + manifest commit is the serialized section:

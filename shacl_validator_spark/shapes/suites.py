@@ -18,6 +18,17 @@ severities.
 Vocabulary lists (EU authority tables, NTI sector taxonomy) are the
 published controlled-vocabulary URIs — the same ones the reference's
 ``mdr-vocabularies.shape.ttl`` carries.
+
+Fidelity note (round 3): the suites now use the published SEMIC
+STRUCTURAL forms, not just the published vocabulary — ``sh:node`` to an
+untargeted Agent node shape on ``dct:publisher`` (shapes.ttl
+``:Agent_Shape`` pattern) and the full four-branch date ``sh:or``
+(date/dateTime/gYear/gYearMonth) on issued/modified — so the compiler
+surface matches what the real published files exercise
+(tests/test_logical_shapes.py additionally compiles a verbatim published
+DCAT-AP fragment with zero skipped constraints).  Full byte-fidelity to
+the fetched TTLs remains impossible offline and results on a real catalog
+approximate, not equal, the reference's.
 """
 
 from __future__ import annotations
