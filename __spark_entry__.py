@@ -214,11 +214,13 @@ def q_conforms_flag(spark, sf_dir):
 
 
 def q_shacl_min_count(spark, sf_dir):
-    return _violations_of(spark, sf_dir, "MinCount")
+    # path filter: the subclass-entailment fixture also emits MinCount rows
+    return _violations_of(spark, sf_dir, "MinCount", path="ex:goodbal")
 
 
 def q_shacl_pattern(spark, sf_dir):
-    return _violations_of(spark, sf_dir, "Pattern")
+    # path filter: the node-shape-level fixture also emits Pattern rows
+    return _violations_of(spark, sf_dir, "Pattern", path="ex:name")
 
 
 def q_shacl_in(spark, sf_dir):
@@ -308,6 +310,45 @@ def q_shacl_xone(spark, sf_dir):
     return _violations_of(spark, sf_dir, "Xone")
 
 
+def q_shacl_equals(spark, sf_dir):
+    """sh:equals — ex:name's value set must equal ex:prefname's (both
+    directions reported)."""
+    return _violations_of(spark, sf_dir, "Equals")
+
+
+def q_shacl_disjoint(spark, sf_dir):
+    """sh:disjoint — ex:prefname must share no value with ex:name."""
+    return _violations_of(spark, sf_dir, "Disjoint")
+
+
+def q_shacl_less_than_or_equals(spark, sf_dir):
+    """sh:lessThanOrEquals — acctbal must be <= balcap."""
+    return _violations_of(spark, sf_dir, "LessThanOrEquals")
+
+
+def q_shacl_closed(spark, sf_dir):
+    """sh:closed — predicates outside the NationClosedShape allowed set."""
+    return _violations_of(spark, sf_dir, "Closed")
+
+
+def q_shacl_subclass_target(spark, sf_dir):
+    """rdfs:subClassOf entailment — SupplierShape targets ex:Supplier; odd
+    suppliers are typed only ex:LocalSupplier (⊑ ex:Supplier) and violate
+    minCount(ex:saddr), so every returned focus was reached through the
+    subclass closure."""
+    return _violations_of(spark, sf_dir, "MinCount", path="ex:saddr")
+
+
+def q_shacl_node_self(spark, sf_dir):
+    """Node-shape-level constraint — pattern on the focus node itself."""
+    v = validate(
+        spark, _cust_triples(spark, sf_dir), customer_constraints(), broadcast_rows=_SMALL
+    )
+    return v.filter(F.col("sourceShape") == "ex:NationSelfShape").select(
+        *VIOLATION_OUT_COLS
+    )
+
+
 def q_shacl_inverse_path(spark, sf_dir):
     """sh:inversePath — nations with too many in-linking customers."""
     return _violations_of(spark, sf_dir, "MaxCount", path="^ex:nation")
@@ -316,6 +357,12 @@ def q_shacl_inverse_path(spark, sf_dir):
 def q_shacl_zero_or_more(spark, sf_dir):
     """sh:zeroOrMorePath — ex:nation/ex:partof* must reach region:0."""
     return _violations_of(spark, sf_dir, "HasValue", path="ex:nation/ex:partof*")
+
+
+def q_shacl_zero_or_one(spark, sf_dir):
+    """sh:zeroOrOnePath — ex:partof? with maxCount 1: the zero-length hop
+    counts the focus itself, so even typed nations (self + region) fire."""
+    return _violations_of(spark, sf_dir, "MaxCount", path="ex:partof?")
 
 
 def q_shacl_report_summary(spark, sf_dir):
@@ -877,8 +924,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_not": q_shacl_not,
         "shacl_and": q_shacl_and,
         "shacl_xone": q_shacl_xone,
+        "shacl_subclass_target": q_shacl_subclass_target,
+        "shacl_node_self": q_shacl_node_self,
+        "shacl_equals": q_shacl_equals,
+        "shacl_disjoint": q_shacl_disjoint,
+        "shacl_less_than_or_equals": q_shacl_less_than_or_equals,
+        "shacl_closed": q_shacl_closed,
         "shacl_inverse_path": q_shacl_inverse_path,
         "shacl_zero_or_more": q_shacl_zero_or_more,
+        "shacl_zero_or_one": q_shacl_zero_or_one,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
         "tpch_q1": q_tpch_q1,
@@ -1234,6 +1288,74 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_custkey % 3 = 0
     """
 
+    sql["shacl_subclass_target"] = f"""
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS focusNode,
+               'ex:saddr' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MinCountConstraintComponent' AS sourceConstraintComponent,
+               'ex:SupplierShape' AS sourceShape
+        FROM supplier WHERE s_suppkey % 2 = 1
+    """
+
+    sql["shacl_node_self"] = """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS focusNode,
+               CAST(NULL AS VARCHAR) AS resultPath,
+               'nation:' || CAST(n_nationkey AS VARCHAR) AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#PatternConstraintComponent' AS sourceConstraintComponent,
+               'ex:NationSelfShape' AS sourceShape
+        FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 1
+    """
+
+    sql["shacl_equals"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:name' AS resultPath,
+               c_name AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#EqualsConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 9 = 0
+        UNION ALL
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:name' AS resultPath,
+               'alt ' || c_name AS value,
+               'Violation' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#EqualsConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 9 = 0
+    """
+
+    sql["shacl_disjoint"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:prefname' AS resultPath,
+               c_name AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#DisjointConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 9 <> 0
+    """
+
+    sql["shacl_less_than_or_equals"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:acctbal' AS resultPath,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#LessThanOrEqualsConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_acctbal > 5000
+    """
+
+    sql["shacl_closed"] = """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS focusNode,
+               'ex:partof' AS resultPath,
+               'region:' || CAST(n_nationkey % 5 AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#ClosedConstraintComponent' AS sourceConstraintComponent,
+               'ex:NationClosedShape' AS sourceShape
+        FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+    """
+
     sql["shacl_inverse_path"] = """
         SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS focusNode,
                '^ex:nation' AS resultPath,
@@ -1253,6 +1375,16 @@ def oracle_sql() -> dict[str, str]:
                'http://www.w3.org/ns/shacl#HasValueConstraintComponent' AS sourceConstraintComponent,
                '{_CUST_SHAPE}' AS sourceShape
         FROM customer WHERE NOT (c_nationkey % 2 = 0 AND c_nationkey % 5 = 0)
+    """
+
+    sql["shacl_zero_or_one"] = """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS focusNode,
+               'ex:partof?' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MaxCountConstraintComponent' AS sourceConstraintComponent,
+               'ex:NationZeroOneShape' AS sourceShape
+        FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
     """
 
     sql["shacl_report_summary"] = """
@@ -1332,6 +1464,30 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#HasValueConstraintComponent', 'Info'
           FROM customer WHERE NOT (c_nationkey % 2 = 0 AND c_nationkey % 5 = 0)
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#EqualsConstraintComponent', 'Violation'
+          FROM customer WHERE c_custkey % 9 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#EqualsConstraintComponent', 'Violation'
+          FROM customer WHERE c_custkey % 9 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#DisjointConstraintComponent', 'Warning'
+          FROM customer WHERE c_custkey % 9 <> 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#LessThanOrEqualsConstraintComponent', 'Warning'
+          FROM customer WHERE c_acctbal > 5000
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#ClosedConstraintComponent', 'Info'
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#PatternConstraintComponent', 'Violation'
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 1
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent', 'Info'
+          FROM supplier WHERE s_suppkey % 2 = 1
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MaxCountConstraintComponent', 'Info'
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
         )
         SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
     """
@@ -1879,7 +2035,10 @@ def oracle_sql() -> dict[str, str]:
     sql["salted_degree"] = """
         WITH t AS (
           SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subject,
-                 10 + CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+                 -- 11 unconditional triples per customer (type, name,
+                 -- segment, acctbal, nation, alias, regdate, balcap,
+                 -- label@en, homepage, prefname) + the conditional ones
+                 11 + CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
                     + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
                     + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END
                     + CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END AS n

@@ -156,9 +156,15 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("max_inclusive", T.DoubleType(), True),
         T.StructField("min_exclusive", T.DoubleType(), True),
         T.StructField("max_exclusive", T.DoubleType(), True),
-        # sh:lessThan — sibling property IRI whose values every value node
-        # must be strictly less than (numeric comparison)
+        # sh:lessThan / sh:lessThanOrEquals — sibling property IRI whose
+        # values every value node must be less than (/ or equal to); the
+        # comparison follows SPARQL '<' domains (numeric, dateTime, string)
         T.StructField("less_than", T.StringType(), True),
+        T.StructField("less_than_or_equals", T.StringType(), True),
+        # sh:equals / sh:disjoint — sibling property IRI whose value SET
+        # must equal / not intersect the path's value set (RDF-term identity)
+        T.StructField("equals", T.StringType(), True),
+        T.StructField("disjoint", T.StringType(), True),
         T.StructField("unique_lang", T.BooleanType(), True),
         T.StructField("language_in", T.ArrayType(T.StringType()), True),
         T.StructField("has_value", T.StringType(), True),
@@ -177,6 +183,11 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("qvs_branch", BRANCH_SCHEMA, True),
         T.StructField("q_min_count", T.IntegerType(), True),
         T.StructField("q_max_count", T.IntegerType(), True),
+        # sh:closed node-shape row (no path): every (focus, p, o) whose p is
+        # outside ``closed_allowed`` (the shape's property paths plus
+        # sh:ignoredProperties) is a violation with resultPath = p
+        T.StructField("closed", T.BooleanType(), True),
+        T.StructField("closed_allowed", T.ArrayType(T.StringType()), True),
         # set on definition rows of a nested node shape: the shape IRI/bnode
         # this row belongs to; such rows have no target_* and are evaluated
         # only via node_ref references (dynamic targets = parent value nodes)

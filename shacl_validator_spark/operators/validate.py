@@ -41,6 +41,54 @@ from ..model import (
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+# rdfs:subClassOf edges are SCHEMA-sized (classes, not instances) even on a
+# 100-TB corpus; below this many edges the transitive closure is computed
+# driver-side (one bounded collect), above it a log-squaring distributed
+# closure takes over.
+SUBCLASS_EDGE_CAP = 500_000
+
+# SPARQL '<' comparison domains for sh:lessThan / sh:lessThanOrEquals,
+# keyed by EFFECTIVE datatype (plain literal ≡ xsd:string; lang-tagged
+# literals have no '<' operator mapping).  Lexically-invalid typed
+# literals and every other datatype are non-comparable ('bad') — a
+# comparison failure, reported as a violation.
+_LT_NUMERIC_DT = tuple(
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+)
+_LT_TEMPORAL_DT = (XSD + "dateTime", XSD + "date")
+
+
+def _lt_kind() -> F.Column:
+    """SPARQL-'<' comparison domain of the current value row: 'num', 'ts',
+    'str', or 'bad' (non-comparable).  The domain follows the DECLARED
+    effective datatype, not lexical parseability — "5"^^xsd:string is a
+    string, "x"^^xsd:integer is non-comparable."""
+    eff = F.coalesce(F.col("object_datatype"), F.lit(XSD + "string"))
+    num = F.col("object_value").try_cast("double")
+    ts = F.try_to_timestamp(F.col("object_value"))
+    return (
+        F.when(F.col("object_type") != "literal", F.lit("bad"))
+        .when(F.col("object_lang").isNotNull(), F.lit("bad"))
+        .when(
+            eff.isin(*_LT_NUMERIC_DT),
+            F.when(num.isNotNull(), F.lit("num")).otherwise(F.lit("bad")),
+        )
+        .when(
+            eff.isin(*_LT_TEMPORAL_DT),
+            F.when(ts.isNotNull(), F.lit("ts")).otherwise(F.lit("bad")),
+        )
+        .when(eff == XSD + "string", F.lit("str"))
+        .otherwise(F.lit("bad"))
+    )
+
 
 _NODE_KIND_SETS = {
     "IRI": ["iri"],
@@ -72,6 +120,8 @@ FACET_FIELDS = [
     "min_exclusive",
     "max_exclusive",
     "less_than",
+    "less_than_or_equals",
+    "closed_allowed",
     "unique_lang",
     "language_in",
     "has_value",
@@ -226,9 +276,9 @@ def _parse_alt(alt: str) -> tuple[str, str]:
     """Encoded step alternative → (modifiers, predicate IRI).
 
     Modifiers (compiler ``_path_alt``): ``^`` sh:inversePath, ``*``
-    sh:zeroOrMorePath, ``+`` sh:oneOrMorePath."""
+    sh:zeroOrMorePath, ``+`` sh:oneOrMorePath, ``?`` sh:zeroOrOnePath."""
     i = 0
-    while i < len(alt) and alt[i] in "^*+":
+    while i < len(alt) and alt[i] in "^*+?":
         i += 1
     return alt[:i], alt[i:]
 
@@ -369,6 +419,77 @@ def _closure(
     return reached.dropDuplicates(_FRONTIER_COLS)
 
 
+def _typed_with_entailment(
+    spark: SparkSession, triples: DataFrame, entailment: str
+) -> DataFrame:
+    """Distinct (subject, cls) pairs, optionally expanded through the
+    rdfs:subClassOf* closure (SHACL's "SHACL instance of" semantics,
+    SHACL core §1.4.4 — `sh:targetClass` and `sh:class` must see instances
+    of subclasses; the reference's shacl-engine does the same through its
+    RDF/JS dataset).
+
+    ``entailment="rdfs"``: subclass edges asserted in the data graph are
+    closed transitively (cycle-safe) and every instance additionally
+    carries its ancestor classes.  The edge relation is schema-sized, so
+    the closure is a bounded driver BFS below SUBCLASS_EDGE_CAP and a
+    log-squaring distributed closure above it; the expansion itself is one
+    broadcast join before the single types dedup shuffle — no extra
+    corpus-wide shuffle.  ``entailment="none"``: skip the subclass scan
+    entirely (callers whose producers cannot emit rdfs:subClassOf — e.g.
+    the KG pipeline's extractor vocabulary — keep the probe-free plan).
+    """
+    types_raw = triples.filter(F.col("predicate") == RDF_TYPE).select(
+        F.col("subject"), F.col("object_value").alias("cls")
+    )
+    if entailment == "none":
+        return types_raw.dropDuplicates()
+    edges_df = (
+        triples.filter(
+            (F.col("predicate") == RDFS_SUBCLASS)
+            & (F.col("object_type") != "literal")
+        )
+        .select(F.col("subject").alias("child"), F.col("object_value").alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .dropDuplicates()
+    )
+    head = edges_df.limit(SUBCLASS_EDGE_CAP + 1).collect()
+    if not head:
+        return types_raw.dropDuplicates()
+    if len(head) <= SUBCLASS_EDGE_CAP:
+        up: dict[str, set[str]] = {}
+        for r in head:
+            up.setdefault(r.child, set()).add(r.parent)
+        anc_rows: list[tuple[str, str]] = []
+        for c, parents in up.items():
+            seen: set[str] = set()
+            stack = list(parents)
+            while stack:
+                p = stack.pop()
+                if p in seen or p == c:
+                    continue
+                seen.add(p)
+                stack.extend(up.get(p, ()))
+            anc_rows.extend((c, p) for p in sorted(seen))
+        anc_df = F.broadcast(
+            spark.createDataFrame(anc_rows, "child string, parent string")
+        )
+    else:  # pragma: no cover - schema graphs this large are pathological
+        anc_df = edges_df
+        for _ in range(6):  # depth 2^6 = 64 subclass levels
+            anc_df = (
+                anc_df.alias("a")
+                .join(anc_df.alias("b"), F.col("a.parent") == F.col("b.child"))
+                .select(F.col("a.child").alias("child"), F.col("b.parent").alias("parent"))
+                .unionByName(anc_df)
+                .filter(F.col("child") != F.col("parent"))
+                .dropDuplicates()
+            )
+    extra = types_raw.join(anc_df, types_raw["cls"] == anc_df["child"]).select(
+        "subject", F.col("parent").alias("cls")
+    )
+    return types_raw.unionByName(extra).dropDuplicates()
+
+
 def _targets_of(
     spark: SparkSession, triples: DataFrame, rows: list[dict], types: DataFrame
 ) -> DataFrame:
@@ -462,6 +583,7 @@ def validate(
     constraint_rows: list[dict],
     broadcast_rows: int | None = None,
     input_rows: int | None = None,
+    entailment: str | None = None,
 ) -> DataFrame:
     """Run every compiled constraint against the triples table.
 
@@ -496,11 +618,13 @@ def validate(
     if not top:
         return spark.createDataFrame([], VIOLATION_SCHEMA)
 
-    types = (
-        triples.filter(F.col("predicate") == RDF_TYPE)
-        .select(F.col("subject"), F.col("object_value").alias("cls"))
-        .dropDuplicates()
-    )
+    # ``entailment``: "rdfs" (default) applies the rdfs:subClassOf* closure
+    # to class targeting and sh:class (SHACL-instance semantics); "none"
+    # skips the subclass scan — see _typed_with_entailment.  None reads the
+    # session conf.
+    if entailment is None:
+        entailment = spark.conf.get("spark.kg.validate.entailment", "rdfs")
+    types = _typed_with_entailment(spark, triples, entailment)
     targets = _targets_of(spark, triples, top, types)
 
     if broadcast_rows is None:
@@ -602,7 +726,11 @@ def _eval(
     # rows whose predicate no constraint watches explode to nothing.
     by_pred: dict[str, list[int]] = {}
     for r in rows:
-        if _is_plain_single(r["path_steps"]):
+        # path_steps None = sh:closed node-shape rows — evaluated in their
+        # own branch below, not through the value stream.  path_steps []
+        # (node-shape-level facets) routes through the general-path group
+        # with zero hops: the focus node is its own value node.
+        if r.get("path_steps") and _is_plain_single(r["path_steps"]):
             for p in r["path_steps"][0]:
                 by_pred.setdefault(p, []).append(r["constraint_id"])
     vals_parts: list[DataFrame] = []
@@ -626,7 +754,7 @@ def _eval(
     # distinct signatures is tiny.
     sig_groups: dict[tuple, list[int]] = {}
     for r in rows:
-        if not _is_plain_single(r["path_steps"]):
+        if r.get("path_steps") is not None and not _is_plain_single(r["path_steps"]):
             sig = tuple(tuple(s) for s in r["path_steps"])
             sig_groups.setdefault(sig, []).append(r["constraint_id"])
     path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "4"))
@@ -647,7 +775,15 @@ def _eval(
                 mods, pred = closures[0]
                 frontier = _closure(triples, frontier, mods, pred, path_depth)
             else:
-                frontier = _hop(triples, frontier, alts)
+                stepped = _hop(triples, frontier, alts)
+                if any("?" in m for m, _ in alts):
+                    # sh:zeroOrOnePath: the zero-length path keeps every
+                    # frontier node as its own value node alongside the
+                    # one-hop neighbours — a union, no extra shuffle
+                    stepped = stepped.unionByName(frontier).dropDuplicates(
+                        _FRONTIER_COLS
+                    )
+                frontier = stepped
         vals_parts.append(
             frontier.select(
                 "constraint_id",
@@ -729,20 +865,23 @@ def _eval(
     # non-comparable domains are a comparison failure → violation.  The
     # compare relation aggregates to one row per (constraint, focus) —
     # target-set-sized — and rides the same broadcast gate as targets.
+    # sh:lessThanOrEquals rides the same sibling-min aggregation — only the
+    # final comparison differs (strict vs non-strict).  The compiler slots
+    # the two facets onto separate rows, so a constraint id never mixes the
+    # two sibling predicates in one min.
     lt_by_pred: dict[str, list[int]] = {}
     for r in rows:
         if r.get("less_than"):
             lt_by_pred.setdefault(r["less_than"], []).append(r["constraint_id"])
+        if r.get("less_than_or_equals"):
+            lt_by_pred.setdefault(r["less_than_or_equals"], []).append(
+                r["constraint_id"]
+            )
     if lt_by_pred:
         lt_map = _cid_map(lt_by_pred)
         w_num = F.col("object_value").try_cast("double")
         w_ts = F.try_to_timestamp(F.col("object_value"))
-        w_kind = (
-            F.when(F.col("object_type") != "literal", "bad")
-            .when(w_num.isNotNull(), "num")
-            .when(w_ts.isNotNull(), "ts")
-            .otherwise("str")
-        )
+        w_kind = _lt_kind()
         lt_agg = (
             triples.select(
                 F.explode(lt_map[F.col("predicate")]).alias("constraint_id"),
@@ -849,12 +988,7 @@ def _eval(
     # rows whose constraint has no range facet
     num = F.col("object_value").try_cast("double")
     v_ts = F.try_to_timestamp(F.col("object_value"))
-    v_kind = (
-        F.when(F.col("object_type") != "literal", "bad")
-        .when(num.isNotNull(), "num")
-        .when(v_ts.isNotNull(), "ts")
-        .otherwise("str")
-    )
+    v_kind = _lt_kind()
 
     def _hit(cond: F.Column, comp: str) -> F.Column:
         return F.when(cond, F.lit(comp)).otherwise(F.lit(None).cast("string"))
@@ -1057,25 +1191,46 @@ def _eval(
         # SPARQL-'<' comparison domains: both sides numeric, both dateTime,
         # or both plain strings compare within the domain; mixed domains or
         # non-literals are a comparison failure → violation
-        check_cols.append(
-            _hit(
-                F.col("less_than").isNotNull()
-                & F.col("_lt_n").isNotNull()
-                & (
-                    (F.size("_lt_kinds") > 1)
-                    | F.array_contains("_lt_kinds", "bad")
-                    | (v_kind == "bad")
-                    | (v_kind != F.element_at("_lt_kinds", 1))
-                    | ((v_kind == "num") & (num >= F.col("_lt_min_num")))
-                    | ((v_kind == "ts") & (v_ts >= F.col("_lt_min_ts")))
-                    | (
-                        (v_kind == "str")
-                        & (F.col("object_value") >= F.col("_lt_min_str"))
-                    )
-                ),
-                "LessThan",
-            )
+        _lt_incomparable = (
+            (F.size("_lt_kinds") > 1)
+            | F.array_contains("_lt_kinds", "bad")
+            | (v_kind == "bad")
+            | (v_kind != F.element_at("_lt_kinds", 1))
         )
+        if any(r.get("less_than") for r in rows):
+            check_cols.append(
+                _hit(
+                    F.col("less_than").isNotNull()
+                    & F.col("_lt_n").isNotNull()
+                    & (
+                        _lt_incomparable
+                        | ((v_kind == "num") & (num >= F.col("_lt_min_num")))
+                        | ((v_kind == "ts") & (v_ts >= F.col("_lt_min_ts")))
+                        | (
+                            (v_kind == "str")
+                            & (F.col("object_value") >= F.col("_lt_min_str"))
+                        )
+                    ),
+                    "LessThan",
+                )
+            )
+        if any(r.get("less_than_or_equals") for r in rows):
+            check_cols.append(
+                _hit(
+                    F.col("less_than_or_equals").isNotNull()
+                    & F.col("_lt_n").isNotNull()
+                    & (
+                        _lt_incomparable
+                        | ((v_kind == "num") & (num > F.col("_lt_min_num")))
+                        | ((v_kind == "ts") & (v_ts > F.col("_lt_min_ts")))
+                        | (
+                            (v_kind == "str")
+                            & (F.col("object_value") > F.col("_lt_min_str"))
+                        )
+                    ),
+                    "LessThanOrEquals",
+                )
+            )
     # --- logical / nested components (SHACL core §4.6-4.7) ----------------
     if _has("node_branch"):
         check_cols.append(
@@ -1293,6 +1448,107 @@ def _eval(
         )
         result = result.unionByName(
             _as_violations(dup_langs, _component("UniqueLang"), F.col("_lang"))
+        )
+
+    # sh:equals / sh:disjoint (pair components, SHACL core §4.4): the
+    # path's value SET is compared with the sibling property's value SET
+    # under RDF-term identity.  Membership is a fine-grained equi-join on
+    # (constraint, focus, term) — never an in-row array — so hub focus
+    # nodes with millions of values stay one row per term through every
+    # shuffle (the same de-skew rule as the per-value hit explode above).
+    eq_ids = [r["constraint_id"] for r in rows if r.get("equals")]
+    dj_ids = [r["constraint_id"] for r in rows if r.get("disjoint")]
+    if eq_ids or dj_ids:
+        pair_by_pred: dict[str, list[int]] = {}
+        for r in rows:
+            if r.get("equals"):
+                pair_by_pred.setdefault(r["equals"], []).append(r["constraint_id"])
+            if r.get("disjoint"):
+                pair_by_pred.setdefault(r["disjoint"], []).append(r["constraint_id"])
+
+        def _term_key() -> F.Column:
+            # RDF-term identity normalized for the join: plain literals ≡
+            # xsd:string (RDF 1.1), language tags compare case-folded, and
+            # IRIs/bnodes carry an empty datatype slot
+            eff_dt = F.when(
+                F.col("object_lang").isNotNull(), F.lit(RDF_LANGSTRING)
+            ).otherwise(F.coalesce(F.col("object_datatype"), F.lit(XSD + "string")))
+            return F.struct(
+                F.col("object_value").alias("v"),
+                F.col("object_type").alias("t"),
+                F.when(F.col("object_type") == "literal", eff_dt)
+                .otherwise(F.lit(""))
+                .alias("dt"),
+                F.coalesce(F.lower(F.col("object_lang")), F.lit("")).alias("lg"),
+            )
+
+        sib = (
+            triples.select(
+                F.explode(_cid_map(pair_by_pred)[F.col("predicate")]).alias(
+                    "constraint_id"
+                ),
+                F.col("subject").alias("focusNode"),
+                "object_value",
+                "object_type",
+                "object_datatype",
+                "object_lang",
+            )
+            .join(_gate(targets), ["constraint_id", "focusNode"], "left_semi")
+            .select("constraint_id", "focusNode", "object_value", _term_key().alias("_k"))
+            .dropDuplicates(["constraint_id", "focusNode", "_k"])
+        )
+        pv_k = per_value.select(
+            "constraint_id", "focusNode", "object_value", _term_key().alias("_k")
+        )
+        key = ["constraint_id", "focusNode", "_k"]
+        if eq_ids:
+            # violated in BOTH directions (sh:equals is set equality): each
+            # path value missing from the sibling set, and each sibling
+            # value missing from the path's value set
+            only_path = pv_k.filter(F.col("constraint_id").isin(eq_ids)).join(
+                sib.select(*key), key, "left_anti"
+            )
+            only_sib = sib.filter(F.col("constraint_id").isin(eq_ids)).join(
+                pv_k.select(*key), key, "left_anti"
+            )
+            eq_rows = _attach_facets(
+                only_path.unionByName(only_sib.select(only_path.columns)), facets
+            )
+            result = result.unionByName(
+                _as_violations(eq_rows, _component("Equals"), F.col("object_value"))
+            )
+        if dj_ids:
+            both = pv_k.filter(F.col("constraint_id").isin(dj_ids)).join(
+                sib.select(*key), key, "left_semi"
+            )
+            result = result.unionByName(
+                _as_violations(
+                    _attach_facets(both, facets),
+                    _component("Disjoint"),
+                    F.col("object_value"),
+                )
+            )
+
+    # sh:closed (+ sh:ignoredProperties): every (focus, p, o) assertion
+    # whose predicate is outside the shape's allowed set is one violation
+    # with resultPath = p.  One join of the triples stream against the
+    # closed shapes' target set — same shuffle shape as the value stream.
+    closed_ids = [r["constraint_id"] for r in rows if r.get("closed")]
+    if closed_ids:
+        ct = targets.filter(F.col("constraint_id").isin(closed_ids))
+        closed_vals = triples.select(
+            "subject", "predicate", "object_value"
+        ).join(
+            _gate(ct.select("constraint_id", F.col("focusNode"))),
+            F.col("subject") == F.col("focusNode"),
+        )
+        cl = (
+            _attach_facets(closed_vals, facets)
+            .filter(~F.array_contains(F.col("closed_allowed"), F.col("predicate")))
+            .withColumn("path", F.col("predicate"))
+        )
+        result = result.unionByName(
+            _as_violations(cl, _component("Closed"), F.col("object_value"))
         )
 
     # set semantics on results: one sh:ValidationResult per

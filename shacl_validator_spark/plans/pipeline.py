@@ -352,9 +352,12 @@ def run_pipeline(
         # size hint — under the broadcast gate's worst-case bound it skips
         # both bounded probe jobs the validator would otherwise run
         n_in = triples.count()
-        validate(spark, triples, shapes, input_rows=n_in).write.mode(
-            "overwrite"
-        ).parquet(report_path)
+        # entailment="none": the extractor vocabulary cannot emit
+        # rdfs:subClassOf, so the subclass probe job is provably useless
+        # here — this keeps the hinted validate call fully probe-free
+        validate(
+            spark, triples, shapes, input_rows=n_in, entailment="none"
+        ).write.mode("overwrite").parquet(report_path)
         violations = spark.read.schema(VIOLATION_SCHEMA).parquet(report_path)
         t0 = _bump("validate", t0)
 

@@ -356,10 +356,11 @@ def _render_alt(alt: str) -> str:
     """Render one encoded step alternative for reports.
 
     Encoding (see ``_path_steps``): a leading ``^`` marks sh:inversePath,
-    ``*`` sh:zeroOrMorePath, ``+`` sh:oneOrMorePath; renderings follow the
-    SPARQL property-path surface syntax (``^p``, ``p*``, ``p+``)."""
+    ``*`` sh:zeroOrMorePath, ``+`` sh:oneOrMorePath, ``?``
+    sh:zeroOrOnePath; renderings follow the SPARQL property-path surface
+    syntax (``^p``, ``p*``, ``p+``, ``p?``)."""
     mods = ""
-    while alt and alt[0] in "^*+":
+    while alt and alt[0] in "^*+?":
         mods += alt[0]
         alt = alt[1:]
     out = alt
@@ -369,6 +370,8 @@ def _render_alt(alt: str) -> str:
         out = out + "*"
     if "+" in mods:
         out = out + "+"
+    if "?" in mods:
+        out = out + "?"
     return out
 
 
@@ -408,20 +411,26 @@ def _path_alt(g: ParsedGraph, term: Term, warnings: list[str]) -> str:
     """Resolve one non-sequence path node into an encoded alternative.
 
     Encoding: plain IRI → itself; sh:inversePath → ``^`` prefix;
-    sh:zeroOrMorePath → ``*`` prefix; sh:oneOrMorePath → ``+`` prefix.
+    sh:zeroOrMorePath → ``*`` prefix; sh:oneOrMorePath → ``+`` prefix;
+    sh:zeroOrOnePath → ``?`` prefix.
     Modifiers compose (``*^p`` = zero-or-more of inverse p); modifiers over
     non-atomic paths (a sequence under a closure) are out of scope and warn.
     """
     if term.kind == "iri":
         return term.value
     node = term.value
-    for pred, mod in (("inversePath", "^"), ("zeroOrMorePath", "*"), ("oneOrMorePath", "+")):
+    for pred, mod in (
+        ("inversePath", "^"),
+        ("zeroOrMorePath", "*"),
+        ("oneOrMorePath", "+"),
+        ("zeroOrOnePath", "?"),
+    ):
         inner = g.first(node, SH + pred)
         if inner is not None:
             if inner.kind == "iri":
                 return mod + inner.value
             sub = _path_alt(g, inner, warnings)
-            if sub.lstrip("^*+") != sub or g.rdf_list(inner.value):
+            if sub.lstrip("^*+?") != sub or g.rdf_list(inner.value):
                 if g.rdf_list(inner.value):
                     warnings.append(
                         f"sh:{pred} over a sequence path is unsupported; "
@@ -451,7 +460,7 @@ def _path_steps(
         return [[_path_alt(g, t, warnings) for t in alts]]
     if any(
         g.first(node, SH + p) is not None
-        for p in ("inversePath", "zeroOrMorePath", "oneOrMorePath")
+        for p in ("inversePath", "zeroOrMorePath", "oneOrMorePath", "zeroOrOnePath")
     ):
         return [[_path_alt(g, path_term, warnings)]]
     seq = g.rdf_list(node)
@@ -504,6 +513,11 @@ _ROW_DEFAULTS = {
     "min_exclusive": None,
     "max_exclusive": None,
     "less_than": None,
+    "less_than_or_equals": None,
+    "equals": None,
+    "disjoint": None,
+    "closed": None,
+    "closed_allowed": None,
     "unique_lang": None,
     "language_in": None,
     "has_value": None,
@@ -594,17 +608,30 @@ def _compile_nested(g: ParsedGraph, shape: str, ctx: _Ctx) -> None:
             ctx.defs.append(facets)
 
 
-def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[dict]:
+def _prop_constraints(
+    g: ParsedGraph, prop: str, shape: str, ctx: _Ctx, require_path: bool = True
+) -> list[dict]:
     """Compile one property shape into one-or-more facet dicts (no targets).
 
     The first dict carries every simple facet plus the first of each
     logical/nested constraint kind; additional sh:or / sh:node objects on
     the same property shape (a conjunction of constraints) emit extra
-    dicts so each stays one row."""
+    dicts so each stays one row.
+
+    With ``require_path=False`` (node-shape-level constraints) a missing
+    sh:path compiles to the EMPTY step sequence — the value node is the
+    focus node itself (SHACL §2.1.3: constraints declared directly on a
+    node shape apply to the focus node), and violation rows carry a null
+    resultPath."""
     path_t = g.first(prop, SH + "path")
-    if path_t is None:
+    if path_t is None and require_path:
         return []
-    steps = _path_steps(g, path_t, ctx.warnings)
+    # sh:deactivated true — the property shape is skipped entirely
+    # (SHACL core §2.1.3.3); no constraint rows, no warnings
+    deact = g.first(prop, SH + "deactivated")
+    if deact is not None and deact.value == "true":
+        return []
+    steps = _path_steps(g, path_t, ctx.warnings) if path_t is not None else []
     severity = _severity_of(g.first(prop, SH + "severity"))
     messages = [
         {"text": m.value, "lang": (m.lang.lower().split("-")[0] if m.lang else None)}
@@ -615,7 +642,7 @@ def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[
     base.update(
         {
             "shape_iri": shape if prop.startswith("_:") else prop,
-            "path": render_path(steps),
+            "path": render_path(steps) if steps else None,
             "path_steps": steps,
             "severity": severity,
             "messages": messages or None,
@@ -630,7 +657,6 @@ def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[
     dt_t = g.first(prop, SH + "datatype")
     nk_t = g.first(prop, SH + "nodeKind")
     cls_t = g.first(prop, SH + "class")
-    lt_t = g.first(prop, SH + "lessThan")
     ul_t = g.first(prop, SH + "uniqueLang")
     li_t = g.first(prop, SH + "languageIn")
     hv_t = g.first(prop, SH + "hasValue")
@@ -654,7 +680,6 @@ def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[
             "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
             "min_exclusive": _float_of(g.first(prop, SH + "minExclusive")),
             "max_exclusive": _float_of(g.first(prop, SH + "maxExclusive")),
-            "less_than": lt_t.value if lt_t is not None else None,
             "unique_lang": (
                 True if ul_t is not None and ul_t.value == "true" else None
             ),
@@ -681,6 +706,18 @@ def _prop_constraints(g: ParsedGraph, prop: str, shape: str, ctx: _Ctx) -> list[
         extra[key] = value
         out.append(extra)
 
+    # Pair components (sh:lessThan / lessThanOrEquals / equals / disjoint)
+    # go through _slot: each facet names ONE sibling predicate per row, so a
+    # property shape carrying several pair constraints emits extra rows
+    # instead of conflating sibling value sets in one aggregation.
+    for pred, slot_key in (
+        ("lessThan", "less_than"),
+        ("lessThanOrEquals", "less_than_or_equals"),
+        ("equals", "equals"),
+        ("disjoint", "disjoint"),
+    ):
+        for t in g.objects(prop, SH + pred):
+            _slot(slot_key, t.value)
     # general sh:or — ALL sh:or objects are compiled (round-2 examined only
     # the first and silently dropped non-datatype lists, ADVICE r2 #4);
     # pure-datatype lists keep the cheaper datatype_in column path
@@ -744,9 +781,27 @@ def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
     for pred in ("targetClass", "targetSubjectsOf", "targetObjectsOf", "targetNode"):
         for shape in g.subjects_with(SH + pred):
             shapes_seen.setdefault(shape)
+    # implicit class targets (SHACL §2.1.3.1): a node shape that is ALSO an
+    # rdfs:Class targets its own instances — the shape IRI doubles as the
+    # target class
+    RDFS_CLASS = "http://www.w3.org/2000/01/rdf-schema#Class"
+    implicit_class: set[str] = set()
+    for s, p, o in g.triples:
+        if (
+            p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            and o.value == RDFS_CLASS
+        ):
+            types_of_s = {t.value for t in g.objects(s, p)}
+            if SH + "NodeShape" in types_of_s:
+                shapes_seen.setdefault(s)
+                implicit_class.add(s)
     for shape in shapes_seen:
+        deact = g.first(shape, SH + "deactivated")
+        if deact is not None and deact.value == "true":
+            continue
         shape_targets = (
-            [("target_class", t.value) for t in g.objects(shape, SH + "targetClass")]
+            ([("target_class", shape)] if shape in implicit_class else [])
+            + [("target_class", t.value) for t in g.objects(shape, SH + "targetClass")]
             + [
                 ("target_subjects_of", t.value)
                 for t in g.objects(shape, SH + "targetSubjectsOf")
@@ -769,6 +824,75 @@ def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
                     row["constraint_id"] = cid
                     row[tkind] = tval
                     rows.append(row)
+        # node-shape-level constraints (facets directly on the node shape,
+        # e.g. ``sh:targetClass ex:T ; sh:nodeKind sh:IRI``): compiled with
+        # the EMPTY path — the validator evaluates them with the focus node
+        # as its own value node and a null resultPath.  Only rows that
+        # actually carry a facet are emitted (every shape would otherwise
+        # pay a no-op row).
+        for facets in _prop_constraints(g, shape, shape, ctx, require_path=False):
+            if not any(
+                facets.get(k) is not None
+                for k in _ROW_DEFAULTS
+                if k
+                not in (
+                    "target_class",
+                    "target_subjects_of",
+                    "target_objects_of",
+                    "target_node",
+                    "path",
+                    "path_steps",
+                    "nested_under",
+                    "closed",
+                    "closed_allowed",
+                )
+            ):
+                continue
+            if facets["foaf_page"] is None:
+                facets["foaf_page"] = foaf_page
+            for tkind, tval in shape_targets:
+                cid += 1
+                row = dict(facets)
+                row["constraint_id"] = cid
+                row[tkind] = tval
+                rows.append(row)
+        # sh:closed true → one path-less node-shape row whose allowed set is
+        # the union of the shape's single-predicate property paths and
+        # sh:ignoredProperties (rdf:type is NOT implicitly allowed — SHACL
+        # core §4.8.1: it must be listed in ignoredProperties)
+        closed_t = g.first(shape, SH + "closed")
+        if closed_t is not None and closed_t.value == "true":
+            allowed: set[str] = set()
+            for prop_t in g.objects(shape, SH + "property"):
+                path_t = g.first(prop_t.value, SH + "path")
+                if path_t is None:
+                    continue
+                steps = _path_steps(g, path_t, ctx.warnings)
+                if len(steps) == 1:
+                    for alt in steps[0]:
+                        if not alt or alt[0] in "^*+?":
+                            continue
+                        allowed.add(alt)
+            ign_t = g.first(shape, SH + "ignoredProperties")
+            if ign_t is not None:
+                allowed.update(t.value for t in g.rdf_list(ign_t.value))
+            row = dict(_ROW_DEFAULTS)
+            row.update(
+                {
+                    "shape_iri": shape,
+                    "severity": _severity_of(g.first(shape, SH + "severity")),
+                    "messages": None,
+                    "foaf_page": foaf_page,
+                    "closed": True,
+                    "closed_allowed": sorted(allowed),
+                }
+            )
+            for tkind, tval in shape_targets:
+                cid += 1
+                r = dict(row)
+                r["constraint_id"] = cid
+                r[tkind] = tval
+                rows.append(r)
     for d in ctx.defs:
         cid += 1
         row = dict(d)

@@ -73,7 +73,9 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
     subj = F.format_string("cust:%d", F.col("c_custkey"))
+    ssubj = F.format_string("sup:%d", F.col("s_suppkey"))
 
     def lit_triple(pred: str, value, dtype: str = "http://www.w3.org/2001/XMLSchema#string"):
         return cust.select(
@@ -209,6 +211,55 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("region:%d", F.col("n_nationkey") % 5).alias(
                 "object_value"
             ),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        # ex:prefname — equals/disjoint fixture: matches ex:name except
+        # % 9 == 0 which carries 'alt <name>' instead → sh:equals(ex:name,
+        # ex:prefname) fires both directions on those; sh:disjoint(
+        # ex:prefname, ex:name) fires on everyone else
+        lit_triple(
+            EX + "prefname",
+            F.when(
+                F.col("c_custkey") % 9 == 0,
+                F.concat(F.lit("alt "), F.col("c_name")),
+            ).otherwise(F.col("c_name")),
+        ),
+        # supplier triples — the rdfs:subClassOf entailment fixture: even
+        # suppliers are typed ex:Supplier directly; odd suppliers only
+        # ex:LocalSupplier, which the schema edge below declares a subclass
+        # of ex:Supplier — they are targeted by SupplierShape ONLY through
+        # the subclass closure.  ex:saddr exists only on even suppliers, so
+        # minCount(ex:saddr) fires exactly on the odd (entailed) ones.
+        supplier.select(
+            ssubj.alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.when(F.col("s_suppkey") % 2 == 0, EX + "Supplier")
+            .otherwise(EX + "LocalSupplier")
+            .alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+            ssubj.alias("subject"),
+            F.lit(EX + "saddr").alias("predicate"),
+            F.col("s_name").alias("object_value"),
+            F.lit("literal").alias("object_type"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit("synthetic").alias("graph"),
+        ),
+        # the one schema triple: ex:LocalSupplier ⊑ ex:Supplier
+        supplier.limit(1).select(
+            F.lit(EX + "LocalSupplier").alias("subject"),
+            F.lit("http://www.w3.org/2000/01/rdf-schema#subClassOf").alias(
+                "predicate"
+            ),
+            F.lit(EX + "Supplier").alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("object_datatype"),
             F.lit(None).cast("string").alias("object_lang"),
@@ -532,6 +583,11 @@ def customer_constraints() -> list[dict]:
             "min_exclusive": None,
             "max_exclusive": None,
             "less_than": None,
+            "less_than_or_equals": None,
+            "equals": None,
+            "disjoint": None,
+            "closed": None,
+            "closed_allowed": None,
             "unique_lang": None,
             "language_in": None,
             "has_value": None,
@@ -751,5 +807,80 @@ def customer_constraints() -> list[dict]:
             path=EX + "iso",
             path_steps=[[EX + "iso"]],
             min_count=1,
+        ),
+        # sh:equals — ex:name's value set must equal ex:prefname's; the
+        # % 9 == 0 customers carry 'alt <name>' as prefname, so both
+        # directions fire for exactly those (value = the odd one out)
+        row(
+            27,
+            path=EX + "name",
+            path_steps=[[EX + "name"]],
+            equals=EX + "prefname",
+        ),
+        # sh:disjoint — ex:prefname must share no value with ex:name; fires
+        # for every customer EXCEPT the % 9 == 0 ones (whose prefname is
+        # the non-overlapping 'alt <name>')
+        row(
+            28,
+            path=EX + "prefname",
+            path_steps=[[EX + "prefname"]],
+            disjoint=EX + "name",
+            severity="Warning",
+        ),
+        # sh:lessThanOrEquals — acctbal must be <= balcap (5000); fires
+        # strictly above the cap (the strict lessThan row 12 fires at >=)
+        row(
+            29,
+            path=EX + "acctbal",
+            path_steps=[[EX + "acctbal"]],
+            less_than_or_equals=EX + "balcap",
+            severity="Warning",
+        ),
+        # sh:closed on ex:Nation — only ex:iso and rdf:type are allowed, so
+        # the ex:partof edges on typed even nations each violate
+        row(
+            30,
+            shape_iri=EX + "NationClosedShape",
+            target_class=EX + "Nation",
+            closed=True,
+            closed_allowed=[RDF_TYPE, EX + "iso"],
+            severity="Info",
+        ),
+        # node-shape-level constraint (empty path — the focus node is its
+        # own value node): nation IRIs must end in an even digit, so the
+        # odd typed nations violate with a null resultPath
+        row(
+            31,
+            shape_iri=EX + "NationSelfShape",
+            target_class=EX + "Nation",
+            path=None,
+            path_steps=[],
+            pattern="^nation:.*[02468]$",
+        ),
+        # rdfs:subClassOf entailment: targets instances of ex:Supplier AND
+        # its subclasses; odd suppliers (typed only ex:LocalSupplier, no
+        # ex:saddr) violate — they are reached ONLY through the closure
+        row(
+            32,
+            shape_iri=EX + "SupplierShape",
+            target_class=EX + "Supplier",
+            path=EX + "saddr",
+            path_steps=[[EX + "saddr"]],
+            min_count=1,
+            severity="Info",
+        ),
+        # sh:zeroOrOnePath: ex:partof? over typed nations with maxCount 1 —
+        # the zero-length hop makes the focus its own value node, so EVEN
+        # nations (which also have the one-hop ex:partof region) count 2 and
+        # violate; without the zero-hop nothing would fire, making the `?`
+        # semantics directly observable
+        row(
+            33,
+            shape_iri=EX + "NationZeroOneShape",
+            target_class=EX + "Nation",
+            path=EX + "partof?",
+            path_steps=[["?" + EX + "partof"]],
+            max_count=1,
+            severity="Info",
         ),
     ]

@@ -274,10 +274,36 @@ def test_zero_or_more_path(spark):
     assert bad[0].sourceConstraintComponent == SH + "HasValueConstraintComponent"
 
 
+def test_zero_or_one_path(spark):
+    """sh:zeroOrOnePath: the focus node itself is a value node (zero hop)
+    alongside the one-hop neighbours — observable via maxCount 1."""
+    shapes = compile_shapes(
+        PREFIX
+        + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [
+            sh:path [ sh:zeroOrOnePath ex:next ] ;
+            sh:maxCount 1 ] .
+    """
+    )
+    assert shapes[0]["path"].endswith("next?")
+    assert shapes[0]["path_steps"] == [["?http://example.org/s#next"]]
+    data = PREFIX + """
+    d:a a ex:T ; ex:next d:b .
+    d:b a ex:T .
+    """
+    bad = validate(spark, triples_from_turtle(spark, data), shapes).collect()
+    # d:a counts {d:a (zero hop), d:b} = 2 > 1; d:b counts only itself
+    assert len(bad) == 1
+    assert bad[0].focusNode == "http://example.org/d#a"
+    assert bad[0].sourceConstraintComponent == SH + "MaxCountConstraintComponent"
+
+
 def test_render_path_modifiers():
     assert render_path([["^p"]]) == "^p"
     assert render_path([["a"], ["*b"]]) == "a/b*"
     assert render_path([["+c"]]) == "c+"
+    assert render_path([["?d"]]) == "d?"
 
 
 # --------------------------------------------------------------------------

@@ -67,6 +67,31 @@ def _lex_ok(dt: str, v: str) -> bool:
     return True
 
 
+_CMP_NUMERIC_DT = {
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+}
+
+
+def _cmp_kind(v, ot, dt, lg):
+    """SPARQL-'<' comparison domain keyed by effective datatype (mirrors
+    the engine's _lt_kind): ('num'|'str'|'bad', comparable value)."""
+    if ot != "literal" or lg is not None:
+        return ("bad", None)
+    eff = dt if dt is not None else XSD + "string"
+    if eff in _CMP_NUMERIC_DT:
+        n = _num(v)
+        return ("num", n) if n is not None else ("bad", None)
+    if eff == XSD + "string":
+        return ("str", v)
+    return ("bad", None)
+
+
 def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
     """Independent reference evaluation.  Key:
     (focusNode, path, value, severity, component-localname)."""
@@ -114,15 +139,22 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
                 for lang, cnt in by_lang.items():
                     if cnt > 1:
                         emit(focus, lang, "UniqueLang")
-            # lessThan comparison set (numeric min + any-non-numeric flag)
+            # lessThan comparison set: SPARQL-'<' domains keyed by
+            # effective datatype (mirrors the engine's _lt_kind)
             cmp_nodes = {
-                (v,)
+                (v, ot, dt, lg)
                 for s, p, v, ot, dt, lg, g in triples
                 if s == focus and p == c.get("less_than")
             } if c.get("less_than") else set()
-            cmp_nums = [_num(v) for (v,) in cmp_nodes]
-            cmp_bad = any(x is None for x in cmp_nums)
-            cmp_min = min((x for x in cmp_nums if x is not None), default=None)
+            cmp_kinds = {_cmp_kind(*nd)[0] for nd in cmp_nodes}
+            cmp_min = min(
+                (
+                    _cmp_kind(*nd)[1]
+                    for nd in cmp_nodes
+                    if _cmp_kind(*nd)[0] not in ("bad",)
+                ),
+                default=None,
+            ) if len(cmp_kinds) == 1 and "bad" not in cmp_kinds else None
             for v, ot, dt, lg in nodes:
                 num = _num(v)
                 if c.get("datatype") is not None and (
@@ -165,10 +197,16 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
                     num is None or num >= c["max_exclusive"]
                 ):
                     emit(focus, v, "MaxExclusive")
-                if c.get("less_than") is not None and cmp_nodes and (
-                    cmp_bad or num is None or (cmp_min is not None and num >= cmp_min)
-                ):
-                    emit(focus, v, "LessThan")
+                if c.get("less_than") is not None and cmp_nodes:
+                    v_k, v_cmp = _cmp_kind(v, ot, dt, lg)
+                    incomparable = (
+                        len(cmp_kinds) > 1
+                        or "bad" in cmp_kinds
+                        or v_k == "bad"
+                        or v_k not in cmp_kinds
+                    )
+                    if incomparable or (cmp_min is not None and v_cmp >= cmp_min):
+                        emit(focus, v, "LessThan")
                 if c.get("language_in") is not None and (
                     lg is None
                     or (
