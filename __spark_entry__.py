@@ -97,6 +97,13 @@ def _docs_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
 
 
+# PII patterns shared verbatim between the Spark operator and the DuckDB
+# oracle (deliberately RE2-and-Java compatible — operators/quality.py)
+from shacl_validator_spark.operators.quality import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL_RE,
+    IPV4_RE as _PII_IPV4_RE,
+)
+
 _DOCS_DOUBLED_SQL = (
     "(SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)"
@@ -357,6 +364,21 @@ def q_shacl_inverse_path(spark, sf_dir):
 def q_shacl_zero_or_more(spark, sf_dir):
     """sh:zeroOrMorePath — ex:nation/ex:partof* must reach region:0."""
     return _violations_of(spark, sf_dir, "HasValue", path="ex:nation/ex:partof*")
+
+
+def q_shacl_one_or_more(spark, sf_dir):
+    """sh:oneOrMorePath — ex:partof+ with maxCount 0: `+` excludes the
+    zero-length hop, so only nations WITH an outgoing ex:partof edge (the
+    even ones) have values and violate; under `*` every typed nation would
+    fire, making the +/* distinction observable."""
+    return _violations_of(spark, sf_dir, "MaxCount", path="ex:partof+")
+
+
+def q_shacl_qualified_max(spark, sf_dir):
+    """sh:qualifiedValueShape + sh:qualifiedMaxCount 0 — fires for exactly
+    the customers carrying a 'dup '-prefixed label (the complement of the
+    qualifiedMinCount fixture)."""
+    return _violations_of(spark, sf_dir, "QualifiedMaxCount")
 
 
 def q_shacl_zero_or_one(spark, sf_dir):
@@ -652,6 +674,75 @@ def q_fingerprint_distinct(spark, sf_dir):
     return d.agg(F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_fingerprints"))
 
 
+def _docs_tripled(spark, sf_dir):
+    """documents ∪ two shifted copies — every doc is a 3-member exact-dup
+    cluster, so cluster composition is analytically known."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup consolidation: MinHash pairs → connected components →
+    per-cluster keeper + member list (transitive dedup, not pairwise)."""
+    from shacl_validator_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs_tripled(spark, sf_dir), jaccard_threshold=0.999)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals aggregated per language: mean
+    distinct-word ratio and mean top-word fraction."""
+    from shacl_validator_spark.operators.quality import repetition_profile
+
+    per = repetition_profile(_docs(spark, sf_dir), extra_cols=["lang"])
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("distinct_ratio"), 4).alias("distinct_ratio"),
+        F.round(F.avg("top_frac"), 4).alias("top_frac"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction audit: deterministic synthetic PII is
+    appended per doc (corpus text itself carries none), then the scrub must
+    find and remove exactly it."""
+    from shacl_validator_spark.operators.quality import pii_scrub
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return pii_scrub(d).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: JSON property pulled out of the raw
+    event payload column, typed, and aggregated per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -932,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_closed": q_shacl_closed,
         "shacl_inverse_path": q_shacl_inverse_path,
         "shacl_zero_or_more": q_shacl_zero_or_more,
+        "shacl_one_or_more": q_shacl_one_or_more,
+        "shacl_qualified_max": q_shacl_qualified_max,
         "shacl_zero_or_one": q_shacl_zero_or_one,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
@@ -953,6 +1046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "doc_length_stats": q_doc_length_stats,
         "clean_corpus": q_clean_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
         "language_id": q_language_id,
@@ -1377,6 +1474,26 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE NOT (c_nationkey % 2 = 0 AND c_nationkey % 5 = 0)
     """
 
+    sql["shacl_one_or_more"] = """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS focusNode,
+               'ex:partof+' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#MaxCountConstraintComponent' AS sourceConstraintComponent,
+               'ex:NationOneOrMoreShape' AS sourceShape
+        FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+    """
+
+    sql["shacl_qualified_max"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:label' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Warning' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#QualifiedMaxCountConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_custkey % 4 = 0
+    """
+
     sql["shacl_zero_or_one"] = """
         SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS focusNode,
                'ex:partof?' AS resultPath,
@@ -1488,6 +1605,12 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#MaxCountConstraintComponent', 'Info'
           FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#MaxCountConstraintComponent', 'Warning'
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#QualifiedMaxCountConstraintComponent', 'Warning'
+          FROM customer WHERE c_custkey % 4 = 0
         )
         SELECT component, severity, COUNT(*) AS n FROM v GROUP BY 1, 2
     """
@@ -1746,6 +1869,69 @@ def oracle_sql() -> dict[str, str]:
                     WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
                     WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
                     ELSE 'de' END) IN ('en', 'es', 'de', 'fr')
+    """
+
+    # tripled corpus: each doc is an exact-duplicate triple, LSH banding
+    # co-buckets identical signatures, Jaccard 1 ≥ 0.999, and CC closes the
+    # triangle — so every cluster is exactly {doc, doc+1M, doc+2M}
+    sql["dedup_clusters"] = """
+        SELECT doc_id AS cluster_id,
+               CAST(3 AS BIGINT) AS n_members,
+               [doc_id, doc_id + 1000000, doc_id + 2000000] AS members
+        FROM documents
+    """
+
+    sql["repetition_stats"] = """
+        WITH w AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents
+        ),
+        wc AS (
+          SELECT doc_id, lang, w, COUNT(*) AS c FROM w WHERE w <> ''
+          GROUP BY 1, 2, 3
+        ),
+        per AS (
+          SELECT doc_id, lang, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS tf
+          FROM wc GROUP BY 1, 2
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS total_words,
+               ROUND(AVG(nd * 1.0 / nw), 4) AS distinct_ratio,
+               ROUND(AVG(tf * 1.0 / nw), 4) AS top_frac
+        FROM per GROUP BY lang
+    """
+
+    sql["pii_scrub"] = f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+          FROM documents
+        ),
+        s AS (
+          SELECT lang,
+                 len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS ne,
+                 len(regexp_extract_all(t, '{_PII_IPV4_RE}')) AS ni,
+                 length(t) - length(
+                   regexp_replace(
+                     regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PII_IPV4_RE}', '<IP>', 'g')) AS cr
+          FROM d
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ne) AS BIGINT) AS emails,
+               CAST(SUM(ni) AS BIGINT) AS ips,
+               CAST(SUM(cr) AS BIGINT) AS chars_removed
+        FROM s GROUP BY lang
+    """
+
+    sql["json_props_stats"] = """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+        FROM events GROUP BY event_type
     """
 
     sql["token_stats"] = f"""

@@ -93,7 +93,9 @@ def run_bench(
         "sessionize",
         "dedup_exact",
         "minhash_dup_pairs",
+        "dedup_clusters",
         "clean_corpus",
+        "repetition_stats",
         "embedding_ivf_topk",
         "token_stats",
         "language_id",

@@ -329,3 +329,58 @@ def clean_corpus(
     if langs:
         out = out.filter(F.col("pred_lang").isin(langs))
     return out
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.9,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate CONSOLIDATION: MinHash-LSH pairs → connected
+    components → one row per multi-member cluster with a deterministic
+    keeper.
+
+    Pairwise dedup under-removes: A≈B and B≈C leave {A,C} both "kept" even
+    when the chain means all three are variants of one document.  Closing
+    the pair relation transitively and keeping min-id per component is the
+    standard fix (the same canonicalization step the KG pipeline applies to
+    entity mentions — operators/components.py).  Returns
+    ``(cluster_id, n_members, members)`` where ``cluster_id`` is the
+    numeric-min member id (the keeper) and ``members`` the ascending member
+    list; singleton documents (no near-dup pair) are implicitly kept and
+    not returned.
+
+    Scale notes: the pair generation inherits every guard of
+    ``minhash_lsh_pairs`` (banding, hot-bucket cap, size-capped verify);
+    the component step is label propagation whose per-iteration shuffle is
+    keyed by node over the PAIR relation — orders of magnitude smaller than
+    the corpus — and collapses to a driver union-find below the small-graph
+    gate.  Ids ride zero-padded so the lexicographic min-label of the CC
+    operator is the numeric min.
+    """
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        **lsh_kwargs,
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")  # noqa: E731
+    labels = connected_components(
+        pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    )
+    return (
+        labels.select(
+            F.col("node").cast("long").alias("member"),
+            F.col("component").cast("long").alias("cluster_id"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("member")).alias("members"),
+        )
+    )

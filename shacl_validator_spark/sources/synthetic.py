@@ -869,6 +869,31 @@ def customer_constraints() -> list[dict]:
             min_count=1,
             severity="Info",
         ),
+        # sh:oneOrMorePath: ex:partof+ over typed nations with maxCount 0 —
+        # `+` excludes the zero-length hop, so odd nations (no ex:partof
+        # edge) have ZERO values and conform while even nations reach their
+        # region and violate; under `*` every nation would fire (the focus
+        # itself counts), making the +/* distinction directly observable
+        row(
+            34,
+            shape_iri=EX + "NationOneOrMoreShape",
+            target_class=EX + "Nation",
+            path=EX + "partof+",
+            path_steps=[["+" + EX + "partof"]],
+            max_count=0,
+            severity="Warning",
+        ),
+        # sh:qualifiedValueShape(pattern '^dup ') qualifiedMaxCount 0 on
+        # ex:label — fires for exactly the customers that DO carry a second
+        # 'dup ' label (the complement of the qualifiedMinCount row 20)
+        row(
+            35,
+            path=EX + "label",
+            path_steps=[[EX + "label"]],
+            qvs_branch=branch(pattern="^dup "),
+            q_max_count=0,
+            severity="Warning",
+        ),
         # sh:zeroOrOnePath: ex:partof? over typed nations with maxCount 1 —
         # the zero-length hop makes the focus its own value node, so EVEN
         # nations (which also have the one-hop ex:partof region) count 2 and

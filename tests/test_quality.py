@@ -1,0 +1,70 @@
+"""Word-repetition profiling, PII scrubbing, and near-dup cluster
+consolidation (operators/quality.py, operators/dedup.py::near_dup_clusters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.operators.dedup import near_dup_clusters
+from shacl_validator_spark.operators.quality import (
+    pii_scrub,
+    repetition_profile,
+)
+
+
+def test_repetition_profile_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),  # 4 words, 2 distinct, top 'the' ×3
+            (2, "a b c d"),  # all distinct
+            (3, "  Spaced   out  TEXT text "),  # fold case + multi-space
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["n_distinct"] == 2
+    assert rows[1]["top_freq"] == 3
+    assert abs(rows[1]["top_frac"] - 0.75) < 1e-9
+    assert rows[2]["n_distinct"] == 4 and rows[2]["top_freq"] == 1
+    assert abs(rows[2]["distinct_ratio"] - 1.0) < 1e-9
+    # lowercased: TEXT ≡ text; leading/trailing/multi whitespace ignored
+    assert rows[3]["n_words"] == 4
+    assert rows[3]["n_distinct"] == 3
+    assert rows[3]["top_freq"] == 2
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.org and 192.168.0.1 now"),
+            (2, "nothing sensitive here"),
+            (3, "two mails a@b.co c@d.io one ip 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> and <IP> now"
+    assert rows[1]["chars_removed"] == len(rows[1]["text"]) - len(
+        rows[1]["redacted"]
+    )
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_ips"] == 0
+    assert rows[2]["redacted"] == rows[2]["text"]
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_ips"] == 1
+
+
+def test_near_dup_clusters_transitive_and_pad_safe(spark):
+    # ids straddle a digit-length boundary: a lexicographic (unpadded) min
+    # would pick 1000005 over 999 — the operator must return the numeric min
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    docs = spark.createDataFrame(
+        [(999, base), (1000005, base), (2000005, base), (7, "totally unrelated words here " * 8)],
+        "doc_id long, text string",
+    )
+    out = near_dup_clusters(docs, jaccard_threshold=0.999).collect()
+    assert len(out) == 1  # the singleton doc 7 is implicitly kept, not listed
+    row = out[0]
+    assert row["cluster_id"] == 999
+    assert row["n_members"] == 3
+    assert row["members"] == [999, 1000005, 2000005]
