@@ -68,3 +68,55 @@ def test_near_dup_clusters_transitive_and_pad_safe(spark):
     assert row["cluster_id"] == 999
     assert row["n_members"] == 3
     assert row["members"] == [999, 1000005, 2000005]
+
+
+def test_quality_ops_match_python_reference(spark):
+    """Seeded differential test: repetition_profile and pii_scrub vs a
+    pure-Python reference implementation on a randomized corpus (one Spark
+    job each — the batched counterpart of the hypothesis engine test)."""
+    import random
+    import re
+
+    rng = random.Random(20260818)
+    vocab = ["alpha", "Beta", "gamma", "x1", "x1", "the", "THE", "zz-top"]
+    pii_bits = [
+        "",
+        " a.b-c@d-e.org",
+        " 1.2.3.4",
+        " not@an@email",
+        " 999.1.2.3",
+        " u@v.io 10.20.30.40",
+    ]
+    docs = []
+    for i in range(200):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        docs.append((i, " ".join(words) + rng.choice(pii_bits)))
+
+    from shacl_validator_spark.operators.quality import EMAIL_RE, IPV4_RE
+
+    exp_rep, exp_pii = {}, {}
+    for i, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        exp_rep[i] = (len(toks), len(counts), max(counts.values()))
+        red = re.sub(EMAIL_RE, "<EMAIL>", text)
+        red = re.sub(IPV4_RE, "<IP>", red)
+        exp_pii[i] = (
+            len(re.findall(EMAIL_RE, text)),
+            len(re.findall(IPV4_RE, text)),
+            red,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_rep = {
+        r["doc_id"]: (r["n_words"], r["n_distinct"], r["top_freq"])
+        for r in repetition_profile(df).collect()
+    }
+    assert got_rep == exp_rep
+    got_pii = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["redacted"])
+        for r in pii_scrub(df).collect()
+    }
+    assert got_pii == exp_pii
