@@ -731,6 +731,46 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit: every ~97th document plays the
+    role of an eval/benchmark probe; training docs sharing any word 8-gram
+    with a probe (the probes themselves, their exact/near copies) are
+    flagged.  Aggregated per language: corpus size, contaminated count,
+    total distinct probe-8-gram hits."""
+    from shacl_validator_spark.operators.quality import ngram_decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = ngram_decontaminate(d, probes, n=8)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_contaminated") > 0).cast("long")).alias("contaminated_docs"),
+        F.sum("n_contaminated").alias("total_hits"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (training-mix construction):
+    exactly 40 docs per lang, ranked by md5(doc_id) — reproducible in any
+    engine, no RNG."""
+    from shacl_validator_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(d, ["lang"], 40)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~25% corpus sample via md5(doc_id) thresholding —
+    narrow map, no shuffle; audited per language."""
+    from shacl_validator_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return hash_sample(d, 0.25).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1049,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -1925,6 +1968,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(ni) AS BIGINT) AS ips,
                CAST(SUM(cr) AS BIGINT) AS chars_removed
         FROM s GROUP BY lang
+    """
+
+    sql["decontaminate"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), {_TOKEN_RE_SQL}) AS tk
+          FROM documents
+        ),
+        dg AS (
+          SELECT doc_id, lang,
+                 unnest([array_to_string(tk[i:i+7], ' ')
+                         FOR i IN range(1, len(tk) - 8 + 2)]) AS ng
+          FROM toks
+        ),
+        pg AS (SELECT DISTINCT ng FROM dg WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT dg.doc_id, COUNT(DISTINCT dg.ng) AS nc
+          FROM dg JOIN pg USING (ng) GROUP BY dg.doc_id
+        )
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h.nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS contaminated_docs,
+               CAST(SUM(COALESCE(h.nc, 0)) AS BIGINT) AS total_hits
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        GROUP BY d.lang
+    """
+
+    sql["stratified_sample"] = """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 40
+    """
+
+    sql["hash_sample"] = """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+              < CAST(0.25 * 4294967296 AS UBIGINT)
+        GROUP BY lang
     """
 
     sql["json_props_stats"] = """

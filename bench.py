@@ -24,6 +24,17 @@ import tempfile
 import time
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -96,6 +107,7 @@ def run_bench(
         "dedup_clusters",
         "clean_corpus",
         "repetition_stats",
+        "decontaminate",
         "embedding_ivf_topk",
         "token_stats",
         "language_id",
@@ -113,6 +125,7 @@ def run_bench(
     # (persists inside a query never carry across reps) — the min removes
     # noise, not work.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    ticks0 = _cpu_ticks()
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
@@ -168,6 +181,17 @@ def run_bench(
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+    # Host-contention witness: this sandbox is a VM on a shared host, and
+    # hypervisor steal has been measured anywhere from ~0% to >25% under
+    # load — enough to inflate every stage wall 2-3x run-over-run with zero
+    # code change (straggler tasks gate Spark stage walls, so random steal
+    # amplifies).  Recording steal% over the measured window makes each
+    # bench JSON self-documenting about how trustworthy its absolute
+    # numbers are; compare rounds on plan shape + like-steal runs.
+    ticks1 = _cpu_ticks()
+    steal_pct = None
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = round(100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 1)
     return {
         "metric": "headline_queries_plus_kg_pipeline_wall",
         "value": total,
@@ -185,6 +209,7 @@ def run_bench(
         "bench_reps": reps,
         "kg_pipeline_pg2_sec": pg2_wall,
         "pg2_merged_equal": pg2_merged_equal,
+        "host_steal_pct": steal_pct,
     }
 
 

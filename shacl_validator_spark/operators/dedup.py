@@ -352,18 +352,44 @@ def near_dup_clusters(
     list; singleton documents (no near-dup pair) are implicitly kept and
     not returned.
 
-    Scale notes: the pair generation inherits every guard of
-    ``minhash_lsh_pairs`` (banding, hot-bucket cap, size-capped verify);
-    the component step is label propagation whose per-iteration shuffle is
-    keyed by node over the PAIR relation — orders of magnitude smaller than
-    the corpus — and collapses to a driver union-find below the small-graph
-    gate.  Ids ride zero-padded so the lexicographic min-label of the CC
-    operator is the numeric min.
+    Scale notes — the plan collapses EXACT duplicates before any MinHash
+    work (the standard web-corpus design: a large fraction of a crawl is
+    byte-identical after normalization, and identical texts need no
+    signature comparison):
+
+    1. one hash-groupBy keys every doc by normalized-content md5 and keeps
+       (representative = min id, member list) per distinct text;
+    2. MinHash/LSH runs over REPRESENTATIVES only — signature cost is paid
+       once per distinct text, not once per copy, and boilerplate band
+       buckets shrink by the duplication factor (the ``max_bucket`` guard
+       fires strictly less often, so recall can only improve);
+    3. connected components closes the representative-level pair relation —
+       a graph orders of magnitude smaller than the corpus — and collapses
+       to a driver union-find below the small-graph gate;
+    4. exact-dup groups expand back via their member lists: a group whose
+       representative joined no near-dup pair is itself a cluster.
+
+    Output is invariant to the collapse: exact copies have identical
+    shingle sets, hence identical Jaccard against every third document, so
+    the member-level pair graph's components equal the expanded
+    representative-level components, and min-member-id == min-rep-id ==
+    the CC label (ids ride zero-padded so the lexicographic min-label is
+    the numeric min).
     """
     from .components import connected_components
 
+    groups = (
+        docs.groupBy(F.md5(_normalized(F.col(text_col))).alias("_ch"))
+        .agg(
+            F.min(F.col(id_col)).alias("_rep"),
+            F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_members"),
+        )
+        .persist()
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     pairs = minhash_lsh_pairs(
-        docs,
+        reps,
         id_col=id_col,
         text_col=text_col,
         jaccard_threshold=jaccard_threshold,
@@ -372,15 +398,20 @@ def near_dup_clusters(
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")  # noqa: E731
     labels = connected_components(
         pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    ).select(
+        F.col("node").cast("long").alias("_rep"),
+        F.col("component").cast("long").alias("_label"),
     )
     return (
-        labels.select(
-            F.col("node").cast("long").alias("member"),
-            F.col("component").cast("long").alias("cluster_id"),
-        )
-        .groupBy("cluster_id")
+        groups.join(labels, "_rep", "left")
+        .filter(F.col("_label").isNotNull() | (F.size("_members") > 1))
+        .groupBy(F.coalesce("_label", "_rep").alias("cluster_id"))
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("member")).alias("members"),
+            F.sort_array(F.flatten(F.collect_list("_members"))).alias("members"),
+        )
+        .select(
+            "cluster_id",
+            F.size("members").cast("long").alias("n_members"),
+            "members",
         )
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import TOKEN_PATTERN
+
 # Deliberately simple, RE2-and-Java-compatible patterns (no backrefs, no
 # lookaround) so the same literal runs identically in Spark's JVM regex,
 # DuckDB's RE2 (the correctness oracle), and any downstream audit tooling.
@@ -94,4 +96,80 @@ def pii_scrub(
         F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
         red.alias("redacted"),
         (F.length(t) - F.length(red)).alias("chars_removed"),
+    )
+
+
+def word_ngrams(text, n: int) -> F.Column:
+    """Word n-gram array of normalized text (lowercase, ``TOKEN_PATTERN``
+    tokens, space-joined) — EMPTY when the text has fewer than ``n``
+    tokens (a 5-word document cannot contain an 8-gram; contrast with
+    ``dedup.shingles``, whose whole-text fallback exists so every doc gets
+    a MinHash signature).
+
+    The token array is bound as a lambda variable (single-element-array
+    transform) for the same reason as ``dedup.shingles``: Catalyst does
+    not CSE through higher-order lambdas, so a free-variable reference
+    would re-run the tokenizer regex once per n-gram per row.
+    """
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a probe set (eval/benchmark texts), the standard
+    train-test-overlap gate in a pre-training pipeline (n-gram overlap at
+    n≈8-13 is the published GPT-3/Llama recipe).
+
+    Adds ``n_contaminated`` (count of DISTINCT probe n-grams found in the
+    document) to every input row; ``filter(n_contaminated == 0)`` is the
+    decontaminated corpus, and the nonzero rows are the audit trail.
+
+    Scale notes (100 TB corpus, MB-scale probe set): the probe n-gram set
+    is distinct-ed and BROADCAST — benchmarks are a few MB, so the
+    broadcast is KB-to-MB sized — and the corpus side is a narrow
+    generate-then-broadcast-hash-semi-join: the corpus itself never
+    shuffles; only the matched (doc, n-gram) rows (a vanishing fraction)
+    enter the per-doc count aggregation, which combines map-side.  The
+    final attach join's build side is one row per CONTAMINATED doc, left
+    to AQE (not force-broadcast: adversarial probe sets can contaminate
+    a large doc fraction).  At cluster scale, hash both sides' n-grams to
+    8-byte longs (xxhash64) to shrink the broadcast; kept as strings here
+    so the DuckDB oracle can reproduce the join byte-for-byte.
+    """
+    probe_ngrams = probes.select(
+        F.explode(word_ngrams(F.col(probe_text_col), n)).alias("_ng")
+    ).distinct()
+    doc_ngrams = docs.select(
+        F.col(id_col).alias("_did"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_ng"),
+    )
+    hits = (
+        doc_ngrams.join(F.broadcast(probe_ngrams), "_ng")
+        .groupBy("_did")
+        .agg(F.count_distinct("_ng").alias("n_contaminated"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["_did"], "left")
+        .drop("_did")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
     )

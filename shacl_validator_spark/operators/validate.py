@@ -352,7 +352,12 @@ def _hop(triples: DataFrame, frontier: DataFrame, alts: list[tuple[str, str]]) -
 
 
 def _closure(
-    triples: DataFrame, frontier: DataFrame, mods: str, pred: str, depth: int
+    triples: DataFrame,
+    frontier: DataFrame,
+    mods: str,
+    pred: str,
+    depth: int,
+    reach_cache: dict | None = None,
 ) -> DataFrame:
     """sh:zeroOrMorePath / sh:oneOrMorePath as a bounded EDGE closure.
 
@@ -372,7 +377,18 @@ def _closure(
     the bounded unroll closer to true closure semantics), plus length 0
     (the focus node itself) for zero-or-more.  Node metadata (term kind,
     datatype, lang) comes from the FINAL edge of each path, exactly as the
-    last hop produced it before."""
+    last hop produced it before.
+
+    ``reach_cache`` (keyed by direction, predicate, depth) shares the
+    squared edge relation across every constraint row that closes over the
+    same predicate — ``p*`` and ``p+`` differ only in the zero-length
+    union, so one validate() call with several closure shapes builds the
+    reach subtree ONCE; reusing the same DataFrame keeps the plan subtrees
+    identical, which lets Spark's exchange-reuse evaluate them once too."""
+    key = ("^" in mods, pred, depth)
+    if reach_cache is not None and key in reach_cache:
+        reach = reach_cache[key]
+        return _apply_reach(frontier, reach, mods)
     if "^" in mods:
         edges = triples.filter(F.col("predicate") == pred).select(
             F.col("object_value").alias("_src"),
@@ -407,6 +423,12 @@ def _closure(
         )
         reach = reach.unionByName(nxt).dropDuplicates()
         length *= 2
+    if reach_cache is not None:
+        reach_cache[key] = reach
+    return _apply_reach(frontier, reach, mods)
+
+
+def _apply_reach(frontier: DataFrame, reach: DataFrame, mods: str) -> DataFrame:
     stepped = frontier.join(reach, frontier["node"] == reach["_src"]).select(
         "constraint_id",
         "focusNode",
@@ -758,6 +780,7 @@ def _eval(
             sig = tuple(tuple(s) for s in r["path_steps"])
             sig_groups.setdefault(sig, []).append(r["constraint_id"])
     path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "4"))
+    reach_cache: dict = {}
     for sig, ids in sig_groups.items():
         frontier = targets.filter(F.col("constraint_id").isin(ids)).select(
             "constraint_id",
@@ -773,7 +796,9 @@ def _eval(
             if closures:
                 # closure steps are compiled as sole alternatives
                 mods, pred = closures[0]
-                frontier = _closure(triples, frontier, mods, pred, path_depth)
+                frontier = _closure(
+                    triples, frontier, mods, pred, path_depth, reach_cache
+                )
             else:
                 stepped = _hop(triples, frontier, alts)
                 if any("?" in m for m, _ in alts):

@@ -120,3 +120,28 @@ def test_quality_ops_match_python_reference(spark):
         for r in pii_scrub(df).collect()
     }
     assert got_pii == exp_pii
+
+
+def test_ngram_decontaminate_semantics_and_plan(spark):
+    from shacl_validator_spark.operators.quality import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x q w e y"),          # contains the probe 3-gram once
+            (2, "q w x e"),            # tokens interleaved: no 3-gram match
+            (3, "q w"),                # shorter than n: no n-grams at all
+            (4, "q w e z q w e"),      # probe gram twice -> still 1 DISTINCT hit
+            (5, "Q W E"),              # case-folded match
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("q w e",)], "text string")
+    out = ngram_decontaminate(docs, probes, n=3)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 1, 5: 1}
+    # every input row survives with its columns intact
+    assert set(out.columns) == {"doc_id", "text", "n_contaminated"}
+    # the probe set must reach the corpus as a broadcast (no corpus shuffle
+    # on the semi-join side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
