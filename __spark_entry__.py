@@ -771,6 +771,30 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+def q_asof_view_click(spark, sf_dir):
+    """As-of join (the operator Spark lacks natively, built as union +
+    window carry-forward — operators/temporal.py): each click event gets
+    the user's most recent view at-or-before it; audited per user bucket
+    against DuckDB's native ASOF LEFT JOIN."""
+    from shacl_validator_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = asof_join(clicks, views, on=["user_id"], ts_col="ts", right_cols=[])
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast
+    # applies the session UTC offset to both sides, so the DIFFERENCE is
+    # offset-free and matches DuckDB's epoch_us subtraction exactly
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_ts").cast("timestamp")
+    )
+    return j.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("asof_ts").isNotNull().cast("long")).alias("matched"),
+        F.sum(F.coalesce(gap, F.lit(0))).alias("gap_us"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1092,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
+        "asof_view_click": q_asof_view_click,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -2012,6 +2037,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
               < CAST(0.25 * 4294967296 AS UBIGINT)
         GROUP BY lang
+    """
+
+    sql["asof_view_click"] = """
+        WITH clicks AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        views AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        j AS (
+          SELECT c.user_id, c.ts, v.ts AS vts
+          FROM clicks c ASOF LEFT JOIN views v
+            ON c.user_id = v.user_id AND v.ts <= c.ts
+        )
+        SELECT user_id % 10 AS user_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM(CASE WHEN vts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS matched,
+               CAST(SUM(COALESCE(epoch_us(ts) - epoch_us(vts), 0)) AS BIGINT)
+                 AS gap_us
+        FROM j GROUP BY 1
     """
 
     sql["json_props_stats"] = """

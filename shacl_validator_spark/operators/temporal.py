@@ -1,0 +1,114 @@
+"""Temporal join operators.
+
+``asof_join`` is the classic operator Spark's DataFrame API lacks: for
+every left row, attach the latest right row at-or-before its timestamp
+(direction="backward"; "forward" = earliest at-or-after).  Event
+pipelines need it constantly — last model checkpoint before an event,
+most recent profile snapshot for a click, sensor reading in effect at a
+reading.
+
+Spark-first design: the naive formulation is a range join
+(``r.ts <= l.ts`` non-equi condition), which Spark executes as a
+broadcast nested loop or a sort-merge with per-key quadratic scan — both
+collapse when one user has millions of events.  Instead we UNION the two
+sides, tag them, and run ONE window pass per key ordered by
+(ts, side-tag): a last-non-null carry-forward hands every left row the
+most recent right payload.  Cost: one shuffle on the key, linear scan per
+partition — the same shape as sessionization, and skew behaves like any
+window (a hot key concentrates but never goes quadratic).
+
+DuckDB implements ``ASOF JOIN`` natively, which this operator uses as its
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row plus the temporally closest right
+    row per key (NULLs when none exists).
+
+    - ``on``: equality key columns (present in both sides).
+    - ``right_cols``: right payload columns to attach (default: everything
+      but ``on`` + ``ts_col``); attached as ``{right_prefix}{name}``, plus
+      ``{right_prefix}{ts_col}`` for the matched timestamp.
+    - ``direction``: "backward" (right.ts <= left.ts, latest wins — the
+      DuckDB/pandas default) or "forward" (right.ts >= left.ts, earliest
+      wins).  Both inclusive.
+    - ``tolerance_seconds``: when set, matches farther than this are
+      nulled out (pandas ``merge_asof`` tolerance semantics).
+
+    Tie semantics: among right rows sharing the winning timestamp the one
+    last in (ts, input-order) wins — pass a deterministic right-side sort
+    column inside ``right_cols`` and pre-sort, or dedup the right side,
+    if byte-stable payloads matter; the matched TIMESTAMP is always
+    deterministic.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    right_cols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in set(on) | {ts_col}]
+    )
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_cols]
+    )
+    left_payload_t = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+    right_u = right.select(
+        *on,
+        F.col(ts_col).alias("_t"),
+        payload.alias("_rv"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left_payload_t).alias("_lv"),
+    )
+    left_u = left.select(
+        *on,
+        F.col(ts_col).alias("_t"),
+        F.lit(None).cast(right_u.schema["_rv"].dataType).alias("_rv"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lv"),
+    )
+    # backward: ascending ts, right rows (side 0) sort before left rows at
+    # equal ts so the match is INCLUSIVE; forward: descending ts, same tag
+    # order gives inclusive >=
+    order = [F.col("_t").asc(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_t").desc(),
+        F.col("_side").asc(),
+    ]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        left_u.unionByName(right_u)
+        .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_match._ts").cast("double")
+        )
+        matched = matched.withColumn(
+            "_match", F.when(gap <= tolerance_seconds, F.col("_match"))
+        )
+    out = matched.select(
+        *[F.col(f"_lv.{c}").alias(c) for c in left.columns],
+        F.col("_match._ts").alias(f"{right_prefix}{ts_col}"),
+        *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    return out
