@@ -795,6 +795,22 @@ def q_asof_view_click(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization audit: per label, the exact integer sums
+    of the quantized components — pins scale computation and rounding
+    bit-for-bit against the DuckDB oracle."""
+    from shacl_validator_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    zero = F.lit(0).cast("long")
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.aggregate("q_vec", zero, lambda a, x: a + x)).alias("sum_q"),
+        F.sum(F.aggregate("q_vec", zero, lambda a, x: a + F.abs(x))).alias("sum_abs_q"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1117,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
         "asof_view_click": q_asof_view_click,
+        "embedding_quantize": q_embedding_quantize,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -2056,6 +2073,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(COALESCE(epoch_us(ts) - epoch_us(vts), 0)) AS BIGINT)
                  AS gap_us
         FROM j GROUP BY 1
+    """
+
+    sql["embedding_quantize"] = """
+        WITH q AS (
+          SELECT label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          FROM embeddings
+        ),
+        qq AS (
+          SELECT label,
+                 list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                        CAST(floor(x / s + 0.5) AS BIGINT))) END) AS qv
+          FROM q
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+               CAST(SUM(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT)
+                 AS sum_abs_q
+        FROM qq GROUP BY label
     """
 
     sql["json_props_stats"] = """

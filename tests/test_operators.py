@@ -359,3 +359,47 @@ def test_minhash_big_set_verify_path_equivalent(docs):
         ).collect()
     }
     assert small == forced_big and small
+
+
+def test_quantize_embeddings_reconstruction_and_topk(spark):
+    """int8 quantization: per-component reconstruction error is bounded by
+    scale/2, zero vectors survive, and quantized cosine top-1 agrees with
+    exact top-1 on well-separated synthetic clusters."""
+    import math
+    import random
+
+    from shacl_validator_spark.operators.similarity import quantize_embeddings
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 4] = 1.0  # four well-separated directions
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    rows.append((999, [0.0] * 8))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df).collect()
+    by_id = {r["vec_id"]: r for r in q}
+    assert by_id[999]["q_vec"] == [0] * 8 and by_id[999]["q_scale"] == 0.0
+    for r in q:
+        if r["vec_id"] == 999:
+            continue
+        s = r["q_scale"]
+        assert s > 0
+        for orig, qi in zip(r["embedding"], r["q_vec"]):
+            assert abs(orig - qi * s) <= s / 2 + 1e-9
+            assert -127 <= qi <= 127
+    # top-1 neighbour by quantized dot == by exact dot for a probe vector
+    def top1(vecs):
+        probe = [1.0, 0, 0, 0, 0, 0, 0, 0]
+        scored = [
+            (sum(p * v for p, v in zip(probe, vec)) / (math.sqrt(sum(v * v for v in vec)) or 1), i)
+            for i, vec in vecs
+        ]
+        return max(scored)[1]
+
+    exact = top1([(r["vec_id"], list(r["embedding"])) for r in q if r["vec_id"] != 999])
+    quant = top1(
+        [(r["vec_id"], [x * r["q_scale"] for x in r["q_vec"]]) for r in q if r["vec_id"] != 999]
+    )
+    assert exact == quant
