@@ -105,6 +105,33 @@ def main() -> None:
         lambda t: "TakeOrderedAndProject" in t,
         "Q3 top-10 planned as TakeOrderedAndProject",
     )
+    audit(
+        "asof_view_click",
+        lambda t: "Window" in t and "NestedLoop" not in t and "Cartesian" not in t,
+        "as-of join is union+window, never a range-join nested loop",
+    )
+    audit(
+        "decontaminate",
+        lambda t: "BroadcastHashJoin" in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "probe n-grams broadcast; corpus side never shuffles for the match",
+    )
+    audit(
+        "hash_sample",
+        lambda t: "Exchange" not in t.split("HashAggregate")[0]
+        and "BatchEvalPython" not in t,
+        "hash sampling is a narrow filter before the first aggregate",
+    )
+    audit(
+        "embedding_quantize",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t,
+        "quantization is pure JVM column expressions",
+    )
+    audit(
+        "dedup_clusters",
+        lambda t: "BatchEvalPython" not in t,
+        "cluster consolidation stays JVM-side (exact collapse + LSH + CC)",
+    )
 
     n_fail = sum(1 for _, _, ok in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
