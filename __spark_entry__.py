@@ -811,6 +811,31 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+# decomposed suffix appended per doc for the NFC query: e + combining
+# acute (2 cp -> 1), A + combining ring (2 cp -> 1); the corpus itself is
+# already NFC, so the delta is exactly 2 codepoints per document
+_NFC_SUFFIX = " cafe\u0301 A\u030A"
+
+
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization audit (mapInPandas kernel vs DuckDB's
+    native nfc_normalize): deterministic decomposed suffixes are appended
+    per doc, then per language we pin doc counts, codepoint lengths before
+    and after, and how many docs changed (all of them)."""
+    from shacl_validator_spark.operators.quality import normalize_unicode
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.concat("text", F.lit(_NFC_SUFFIX)).alias("text")
+    )
+    n = normalize_unicode(d)
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("cp_before"),
+        F.sum(F.length("normalized")).alias("cp_after"),
+        F.sum((F.col("text") != F.col("normalized")).cast("long")).alias("n_changed"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1134,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "asof_view_click": q_asof_view_click,
         "embedding_quantize": q_embedding_quantize,
+        "unicode_nfc": q_unicode_nfc,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -2095,6 +2121,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT)
                  AS sum_abs_q
         FROM qq GROUP BY label
+    """
+
+    sql["unicode_nfc"] = f"""
+        WITH d AS (
+          SELECT doc_id, lang, text || '{_NFC_SUFFIX}' AS t FROM documents
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(t)) AS BIGINT) AS cp_before,
+               CAST(SUM(length(nfc_normalize(t))) AS BIGINT) AS cp_after,
+               CAST(SUM(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed
+        FROM d GROUP BY lang
     """
 
     sql["json_props_stats"] = """

@@ -99,6 +99,45 @@ def pii_scrub(
     )
 
 
+def normalize_unicode(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column — the
+    first step of every web-corpus cleaning recipe (decomposed accents,
+    ligatures, and width variants otherwise defeat dedup hashing and
+    tokenization).
+
+    Spark has no built-in unicode-normalize expression, so this is one of
+    the few legitimately-Python operators in the engine: an Arrow-batched
+    ``mapInPandas`` whose per-batch loop calls CPython's C-implemented
+    ``unicodedata.normalize`` — no row-at-a-time Python UDF, no shuffle,
+    and the batch shape composes with any downstream filter.  DuckDB's
+    native ``nfc_normalize`` serves as the correctness oracle.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC|NFKC|NFD|NFKD, got {form}")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if out_col in docs.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    schema = StructType(list(docs.schema.fields) + [StructField(out_col, StringType())])
+
+    def fn(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize(form, s) if isinstance(s, str) else s
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(fn, schema)
+
+
 def word_ngrams(text, n: int) -> F.Column:
     """Word n-gram array of normalized text (lowercase, ``TOKEN_PATTERN``
     tokens, space-joined) — EMPTY when the text has fewer than ``n``

@@ -145,3 +145,29 @@ def test_ngram_decontaminate_semantics_and_plan(spark):
     # on the semi-join side)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_normalize_unicode_forms_and_errors(spark):
+    import unicodedata
+
+    from shacl_validator_spark.operators.quality import normalize_unicode
+
+    decomposed = "cafe\u0301 A\u030A \ufb01ne"  # e+acute, A+ring, fi-ligature — escapes, not precomposed literals
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["normalized"] for r in normalize_unicode(docs).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed)
+    assert "caf\u00e9" in got[1] and "\ufb01" in got[1]  # NFC precomposes, keeps ligatures
+    assert got[2] == "plain ascii"
+    assert got[3] is None
+    nfkc = {r["doc_id"]: r["normalized"] for r in normalize_unicode(docs, form="NFKC").collect()}
+    assert "fine" in nfkc[1]  # NFKC folds the ligature
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode(docs, form="NFX")
+    with _pytest.raises(ValueError):
+        normalize_unicode(docs, out_col="text")
