@@ -100,3 +100,39 @@ def test_focus_sessions_stateful(spark, tmp_path):
     assert rows["https://ex.org/dataset/1"].n_results == 2
     assert rows["https://ex.org/dataset/2"].n_results == 2
     assert rows["https://ex.org/dataset/3"].n_results == 1
+
+
+def test_dedup_stream_first_seen_only(spark, tmp_path):
+    from shacl_validator_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (1, "the same page text", "2024-01-01 00:00:01"),
+        (2, "THE  same page text ", "2024-01-01 00:00:02"),  # normalized dup of 1
+        (3, "a different page", "2024-01-01 00:00:03"),
+        (4, "the same page text", "2024-01-01 00:00:04"),  # exact dup of 1
+    ]
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "dedup_out")
+    spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointPath", str(tmp_path / "ck"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    # one survivor per distinct normalized content; the survivor set is
+    # {one of 1/2/4} + {3}
+    assert len(got) == 2
+    hashes = {r["content_hash"] for r in got}
+    assert len(hashes) == 2
+    assert {r["doc_id"] for r in got} & {1, 2, 4}
+    assert 3 in {r["doc_id"] for r in got}
