@@ -108,6 +108,9 @@ def run_bench(
         "clean_corpus",
         "repetition_stats",
         "decontaminate",
+        "unicode_nfc",
+        "asof_view_click",
+        "embedding_quantize",
         "embedding_ivf_topk",
         "token_stats",
         "language_id",
