@@ -836,6 +836,25 @@ def q_unicode_nfc(spark, sf_dir):
     )
 
 
+def q_pack_windows(spark, sf_dir):
+    """GPT-style sequence packing audit: documents concatenated into 8
+    md5-bucketed shard streams and chunked into 2048-token windows; per
+    shard we pin doc/token totals, the window count, boundary straddlers,
+    and the last window index."""
+    from shacl_validator_spark.operators.packing import pack_windows
+
+    p = pack_windows(_docs(spark, sf_dir).select("doc_id", "text"), 2048, buckets=8)
+    return p.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.sum("n_tokens") - 1) / 2048) + 1).alias("n_windows"),
+        F.sum((F.col("first_window") != F.col("last_window")).cast("long")).alias(
+            "n_straddlers"
+        ),
+        F.max("last_window").alias("max_window"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1160,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_click": q_asof_view_click,
         "embedding_quantize": q_embedding_quantize,
         "unicode_nfc": q_unicode_nfc,
+        "pack_windows": q_pack_windows,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -2133,6 +2153,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_changed
         FROM d GROUP BY lang
+    """
+
+    sql["pack_windows"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS UBIGINT) % 8 AS BIGINT) AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS k,
+                 len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens
+          FROM documents
+        ),
+        p AS (
+          SELECT bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM t
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(floor((SUM(n_tokens) - 1) / 2048) + 1 AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN floor(s / 2048) <>
+                    floor((s + greatest(n_tokens, 1) - 1) / 2048)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+               CAST(MAX(floor((s + greatest(n_tokens, 1) - 1) / 2048)) AS BIGINT)
+                 AS max_window
+        FROM p GROUP BY bucket
     """
 
     sql["json_props_stats"] = """
