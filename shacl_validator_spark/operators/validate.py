@@ -646,6 +646,18 @@ def validate(
     # session conf.
     if entailment is None:
         entailment = spark.conf.get("spark.kg.validate.entailment", "rdfs")
+
+    # Scan-fanout note: the plan re-reads the triples relation once per
+    # constraint-family branch (value facets share a scan, but each path
+    # signature, closure squaring, pair join, closed check, and nested pass
+    # scans again — a 35-constraint suite compiles to ~300 scans).  This is
+    # deliberate: with a parquet/Iceberg-backed input every scan is
+    # predicate-pushed and column-pruned (an index-lookup-like read, the
+    # 100-TB posture), and an interleaved A/B on this host measured a
+    # .persist() of the relation STRICTLY SLOWER (row-object cache build
+    # cost > 300 pushed scans riding the page cache — the same cliff
+    # BENCH/BASELINE.md documents for localCheckpoint).  Callers should
+    # hand validate() a materialized table, not a long derived plan.
     types = _typed_with_entailment(spark, triples, entailment)
     targets = _targets_of(spark, triples, top, types)
 
