@@ -171,14 +171,19 @@ def run_bench(
         # processed by the thread-pooled path — exercises the serialized
         # MERGE commit under contention; merged count must match the
         # sequential run (exactly-once invariant)
-        out_dir2 = os.path.join(out_dir, "pg2")
-        t0 = time.time()
-        res2 = run_pipeline(
-            spark, pages, out_dir2, n_groups=2, parallel_groups=2, resume=False
-        )
         # reported as its own field, NOT in the summed headline: the
-        # headline metric's query set stays comparable round-over-round
-        pg2_wall = round(time.time() - t0, 3)
+        # headline metric's query set stays comparable round-over-round;
+        # min-of-reps like every other number (a single shot conflates
+        # host noise with the thread-pooled path's cost)
+        pg2_wall = None
+        for rep in range(reps):
+            out_dir2 = os.path.join(out_dir, f"pg2_{rep}")
+            t0 = time.time()
+            res2 = run_pipeline(
+                spark, pages, out_dir2, n_groups=2, parallel_groups=2, resume=False
+            )
+            w = round(time.time() - t0, 3)
+            pg2_wall = w if pg2_wall is None else min(pg2_wall, w)
         pg2_merged_equal = res2.merged == res.merged
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
