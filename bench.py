@@ -155,6 +155,11 @@ def run_bench(
         synthesize_pages(
             spark, n_pages, filler_sentences=96, fact_density=0.3
         ).write.mode("overwrite").parquet(pages_dir)
+        # flush the GB-scale corpus write before any timed rep: background
+        # write-back otherwise competes with the first timed read for the
+        # disk (measured: extract stage 4.5 s warm vs ~30 s under
+        # write-back on this host)
+        os.sync()
         pages = spark.read.parquet(pages_dir)
         wall = None
         for rep in range(reps):

@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch on tmpfs when available: this host's disk
+    # write-back contends with timed reads 2-6x (BENCH/BASELINE.md), and
+    # 128 GiB RAM dwarfs any bench-scale spill.  An explicit
+    # SPARK_LOCAL_DIRS (the cluster-standard knob) always wins; on a real
+    # cluster local dirs are provisioned NVMe and this block is inert.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
