@@ -58,6 +58,20 @@ RELATION_PATTERNS: list[tuple[str, str, str]] = [
     (KG + "founded", _NAME + r" was founded in (\d{4})\.", YEAR_LITERAL),
 ]
 
+# Literal infix of each relation pattern (asserted against the regex source
+# in tests): a page whose text lacks ALL of these cannot match any pattern,
+# so it can be dropped JVM-side — inside whole-stage codegen, as plain
+# substring containment, BEFORE the Arrow transfer to Python.  On a
+# CC-realistic corpus most pages carry no relation sentence, so the gate
+# removes the majority of the Arrow traffic and pandas regex work; at
+# cluster scale this is the standard candidate-gating shape (cheap
+# Catalyst-evaluated predicate guarding an expensive vectorized UDF).
+PATTERN_GATE_LITERALS: list[str] = [
+    " is located in ",
+    " publishes ",
+    " was founded in ",
+]
+
 # entity classes implied by relation slots (subject class, object class)
 PREDICATE_CLASSES: dict[str, tuple[str, str | None]] = {
     KG + "locatedIn": (KG + "Organization", KG + "Place"),
@@ -116,18 +130,32 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
 
 
-def extract_raw_triples(pages: DataFrame) -> DataFrame:
+def extract_raw_triples(pages: DataFrame, gate: bool = True) -> DataFrame:
     """pages → surface-form triples via ``mapInPandas`` (Arrow batches).
 
     Returns RAW_TRIPLE_SCHEMA rows; entity typing and canonicalization are
     downstream relational stages (operators/linking.py).
+
+    With ``gate`` (default) pages whose text contains none of
+    ``PATTERN_GATE_LITERALS`` are filtered JVM-side first: the containment
+    OR runs inside whole-stage codegen on the scan, so non-candidate pages
+    never pay Arrow serialization or a Python regex pass.  Output is
+    provably identical — every relation regex contains its gate literal —
+    and ``tests/test_extract.py`` asserts both the containment invariant
+    and gated/ungated result equality.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _extract_batch(pdf)
 
-    return pages.select("url", "text").mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
+    cand = pages.select("url", "text")
+    if gate and PATTERN_GATE_LITERALS:
+        keep = F.col("text").contains(PATTERN_GATE_LITERALS[0])
+        for lit in PATTERN_GATE_LITERALS[1:]:
+            keep = keep | F.col("text").contains(lit)
+        cand = cand.filter(keep)
+    return cand.mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
 
 
 def mentions_from_raw(raw: DataFrame) -> DataFrame:

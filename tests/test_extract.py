@@ -114,3 +114,30 @@ def test_extraction_pr_sparse_facts(spark):
     assert n_expected > 0
     assert tp / n_emitted >= 0.95, (tp, n_emitted)
     assert tp / n_expected >= 0.95, (tp, n_expected)
+
+
+def test_gate_literals_sound_and_output_invariant(spark):
+    """The JVM-side candidate gate must be provably lossless: (a) every
+    relation regex contains its gate literal verbatim, so a text without
+    any literal cannot match any pattern; (b) gated and ungated extraction
+    agree exactly on a corpus where most pages are gate-negative filler."""
+    from shacl_validator_spark.sources.extract import (
+        PATTERN_GATE_LITERALS,
+        RELATION_PATTERNS,
+    )
+
+    # (a) containment invariant, literal-for-pattern, order-aligned
+    assert len(PATTERN_GATE_LITERALS) == len(RELATION_PATTERNS)
+    for (_, pattern, _), lit in zip(RELATION_PATTERNS, PATTERN_GATE_LITERALS):
+        assert lit in pattern, (lit, pattern)
+        # the literal must be regex-inert (no metacharacters), otherwise
+        # "contains the literal" would not imply "can match the pattern"
+        assert not set(lit) & set(r"\^$.|?*+()[]{}"), lit
+
+    # (b) gated ≡ ungated on a 30%-fact corpus
+    pages = synthesize_pages(spark, N, filler_sentences=24, fact_density=0.3)
+    gated = extract_raw_triples(pages, gate=True)
+    ungated = extract_raw_triples(pages, gate=False)
+    assert gated.exceptAll(ungated).count() == 0
+    assert ungated.exceptAll(gated).count() == 0
+    assert gated.count() > 0
