@@ -1,6 +1,7 @@
 """End-to-end KG-construction pipeline (the flagship path, SURVEY.md §3.1).
 
-pages → extract_text (pandas UDF) → extract_raw_triples (Arrow batches) →
+pages → extract_text (pandas UDF) → extract_raw_triples (JVM candidate
+gate, then Arrow batches) →
 link mentions (broadcast alias dict + MinHash-LSH) → canonicalize
 (connected components) → typed triples → SHACL validate (constraint-table
 joins) → conformant-only idempotent MERGE + lineage + checkpoint manifest.
