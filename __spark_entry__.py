@@ -789,6 +789,35 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+def q_mix_weights(spark, sf_dir):
+    """Training-mix reweighting: per-language sampling weights that turn
+    the corpus's natural language mix into a target mix (upsampling capped
+    at 3x), with absent languages dropped — operators/sampling.py
+    mix_weights.  One tiny aggregation keyed by lang; floats rounded so
+    the DuckDB oracle compares exactly."""
+    from shacl_validator_spark.operators.sampling import mix_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = mix_weights(d, "lang", {"en": 0.4, "es": 0.3, "de": 0.3}, weight_cap=3.0)
+    return w.select(
+        "lang",
+        "n_rows",
+        F.round("natural_frac", 6).alias("natural_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round("weight", 6).alias("weight"),
+        "capped",
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary counting pass: corpus-wide token frequencies,
+    top 25 by (count desc, token asc) — operators/quality.py vocab_top_k.
+    Map-side-combined hash aggregate + TakeOrderedAndProject."""
+    from shacl_validator_spark.operators.quality import vocab_top_k
+
+    return vocab_top_k(_docs(spark, sf_dir), k=25)
+
+
 def q_asof_view_click(spark, sf_dir):
     """As-of join (the operator Spark lacks natively, built as union +
     window carry-forward — operators/temporal.py): each click event gets
@@ -1194,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
+        "mix_weights": q_mix_weights,
+        "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
         "embedding_quantize": q_embedding_quantize,
         "unicode_nfc": q_unicode_nfc,
@@ -2118,6 +2149,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
               < CAST(0.25 * 4294967296 AS UBIGINT)
         GROUP BY lang
+    """
+
+    sql["mix_weights"] = """
+        WITH per AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS nat,
+                 CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.3
+                           WHEN 'de' THEN 0.3 ELSE 0.0 END AS DOUBLE) AS tgt
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, n_rows,
+               ROUND(nat, 6) AS natural_frac,
+               ROUND(tgt, 6) AS target_frac,
+               ROUND(LEAST(tgt / nat, 3.0), 6) AS weight,
+               (tgt / nat) > 3.0 AS capped
+        FROM per
+    """
+
+    sql["vocab_topk"] = f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS token
+          FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
     """
 
     sql["asof_view_click"] = """

@@ -166,6 +166,39 @@ def word_ngrams(text, n: int) -> F.Column:
     )
 
 
+def vocab_top_k(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token frequencies, top ``k`` — the counting pass of
+    tokenizer-vocabulary construction (BPE/unigram trainers start from
+    exactly this table) and the input to stopword/anomaly audits.
+
+    Tokens are ``TOKEN_PATTERN`` matches over lowercased text, the same
+    contract as ``functions.text.token_count`` so vocabulary rows are
+    comparable with the per-doc token totals.  Output: ``(token, n)``
+    ordered by count desc then token asc (deterministic ties).
+
+    Scale notes (100 TB): explode → hash-aggregate combines map-side, so
+    the shuffle carries one row per distinct token per task (vocabulary-
+    sized, not corpus-sized — Zipf means the heavy tokens compress best);
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject, never a global
+    sort.  No skew handling needed: a hyper-frequent token ("the") is one
+    row per map task after partial aggregation.
+    """
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     probes: DataFrame,

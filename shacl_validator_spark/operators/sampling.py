@@ -48,6 +48,56 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataF
     return df.filter(bucket < F.lit(threshold))
 
 
+def mix_weights(
+    df: DataFrame,
+    group_col: str,
+    target: dict[str, float],
+    weight_cap: float | None = None,
+) -> DataFrame:
+    """Per-group sampling weights that turn the corpus's natural group mix
+    into a ``target`` mix — the domain-reweighting step of training-mix
+    construction (e.g. upweight books, downweight boilerplate-heavy web).
+
+    For each group g with n_g rows out of N total and target fraction t_g,
+    ``weight = t_g / (n_g / N)``: the expected-repetition factor per row
+    (< 1 ⇒ subsample at that rate via ``hash_sample``; > 1 ⇒ repeat docs
+    ~weight times, the standard epoch-fraction bookkeeping).  Groups absent
+    from ``target`` get weight 0 (dropped from the mix).  ``weight_cap``
+    bounds upsampling (repetition hurts past ~4 epochs in published
+    scaling studies); capped groups are flagged so the caller can renorm.
+
+    One aggregation keyed by ``group_col`` (map-side combined; group
+    cardinality is sources/languages — tiny), then the scalar total is
+    broadcast back onto the per-group rows: no unpartitioned window, no
+    second shuffle, no driver collect of data rows.
+    """
+    if not target:
+        raise ValueError("target mix must be non-empty")
+    tmap = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in (kv[0], float(kv[1]))]
+    )
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(F.sum("n_rows").alias("_tot"))
+    out = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        (F.col("n_rows") / F.col("_tot")).alias("natural_frac"),
+        F.coalesce(tmap[F.col(group_col)], F.lit(0.0)).alias("target_frac"),
+    ).withColumn(
+        "raw_weight",
+        F.when(F.col("n_rows") > 0, F.col("target_frac") / F.col("natural_frac")),
+    )
+    if weight_cap is not None:
+        out = out.withColumn(
+            "weight", F.least(F.col("raw_weight"), F.lit(float(weight_cap)))
+        ).withColumn("capped", F.col("raw_weight") > F.lit(float(weight_cap)))
+    else:
+        out = out.withColumn("weight", F.col("raw_weight")).withColumn(
+            "capped", F.lit(False)
+        )
+    return out.drop("raw_weight")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -171,3 +171,22 @@ def test_normalize_unicode_forms_and_errors(spark):
         normalize_unicode(docs, form="NFX")
     with _pytest.raises(ValueError):
         normalize_unicode(docs, out_col="text")
+
+
+def test_vocab_top_k_order_ties_and_min_count(spark):
+    from shacl_validator_spark.operators.quality import vocab_top_k
+
+    docs = spark.createDataFrame(
+        [(0, "b b b A a c"), (1, "a b c'd C'D")], "doc_id long, text string"
+    )
+    rows = vocab_top_k(docs, k=3).collect()
+    # b:4, a:3 (case-folded), c'd:2 beats c:1 -- apostrophe token contract
+    assert [(r["token"], r["n"]) for r in rows] == [("b", 4), ("a", 3), ("c'd", 2)]
+    # deterministic tie-break: equal counts order by token asc
+    tied = spark.createDataFrame([(0, "x y x y z")], "doc_id long, text string")
+    got = [(r["token"], r["n"]) for r in vocab_top_k(tied, k=2).collect()]
+    assert got == [("x", 2), ("y", 2)]
+    # min_count floor drops the tail
+    assert {r["token"] for r in vocab_top_k(docs, k=10, min_count=2).collect()} == {
+        "b", "a", "c'd"
+    }

@@ -53,3 +53,26 @@ def test_hash_sample_bounds_and_composition(spark):
     full_pick = sorted(r["doc_id"] for r in stratified_sample(df, ["lang"], 10).collect())
     thin_pick = sorted(r["doc_id"] for r in stratified_sample(pre, ["lang"], 10).collect())
     assert full_pick == thin_pick
+
+
+def test_mix_weights_math_cap_and_absent_group(spark):
+    from shacl_validator_spark.operators.sampling import mix_weights
+
+    # 600/200/100 rows of a/b/c: natural mix 2/3, 2/9, 1/9
+    df = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, "a").when(F.col("id") < 800, "b").otherwise("c").alias("src"),
+    )
+    w = {r["src"]: r for r in mix_weights(df, "src", {"a": 0.5, "c": 0.5}, weight_cap=3.0).collect()}
+    assert w["a"]["n_rows"] == 600 and abs(w["a"]["weight"] - 0.75) < 1e-12
+    # b absent from the target -> dropped (weight 0), never capped
+    assert w["b"]["target_frac"] == 0.0 and w["b"]["weight"] == 0.0 and not w["b"]["capped"]
+    # c wants 4.5x upsampling -> capped at 3.0 and flagged
+    assert abs(w["c"]["weight"] - 3.0) < 1e-12 and w["c"]["capped"]
+    # uncapped run reports the raw 4.5x
+    raw = {r["src"]: r["weight"] for r in mix_weights(df, "src", {"a": 0.5, "c": 0.5}).collect()}
+    assert abs(raw["c"] - 4.5) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mix_weights(df, "src", {})
