@@ -1153,6 +1153,41 @@ def q_simhash_sample(spark, sf_dir):
     return simhash(_docs(spark, sf_dir)).orderBy("doc_id").limit(100)
 
 
+def _supply_edges(spark, sf_dir):
+    """Directed supplier→part edges from lineitem, namespaced into one
+    bigint node space (supplier = 2k, part = 2k+1)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_suppkey") * 2).cast("long").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("long").alias("dst"),
+    ).dropDuplicates()
+
+
+def _coorder_part_edges(spark, sf_dir):
+    from shacl_validator_spark.operators.graph import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    from shacl_validator_spark.operators.graph import pagerank
+
+    return pagerank(_supply_edges(spark, sf_dir), iters=3)
+
+
+def q_graph_triangles(spark, sf_dir):
+    from shacl_validator_spark.operators.graph import triangle_count
+
+    return triangle_count(_coorder_part_edges(spark, sf_dir))
+
+
+def q_graph_kcore(spark, sf_dir):
+    from shacl_validator_spark.operators.graph import kcore
+
+    return kcore(_coorder_part_edges(spark, sf_dir), k=2, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "severity_summary": q_severity_summary,
@@ -1253,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_relations": q_extract_relations,
         "byte_identity_failures": q_byte_identity_failures,
         "simhash_sample": q_simhash_sample,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -2561,6 +2599,128 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["byte_identity_failures"] = "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1 = 0"
+
+    # graph analytics: the PageRank recurrence is FIXED-POINT INTEGER
+    # (operators/graph.py) precisely so this oracle is exact — every
+    # quantity is a bigint from integer division/sums, immune to the
+    # float-reduction-order drift a double PageRank would show between
+    # engines.  3 unrolled iterations, damping 85/100, no dangling
+    # redistribution (documented in pagerank()).
+    _pr_edges = (
+        "SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem"
+    )
+    sql["graph_pagerank"] = f"""
+        WITH e AS ({_pr_edges}),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          )
+        ),
+        p AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+          SELECT node, CAST(1000000000000 // (SELECT n FROM p) AS BIGINT) AS pr
+          FROM nodes
+        ),
+        c1 AS (
+          SELECT e.dst AS node, SUM(r0.pr // o.outdeg) AS s
+          FROM r0 JOIN outdeg o USING (node) JOIN e ON e.src = r0.node
+          GROUP BY e.dst
+        ),
+        r1 AS (
+          SELECT nodes.node,
+                 CAST(15000000000000 // (100 * (SELECT n FROM p))
+                      + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+          FROM nodes LEFT JOIN c1 USING (node)
+        ),
+        c2 AS (
+          SELECT e.dst AS node, SUM(r1.pr // o.outdeg) AS s
+          FROM r1 JOIN outdeg o USING (node) JOIN e ON e.src = r1.node
+          GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT nodes.node,
+                 CAST(15000000000000 // (100 * (SELECT n FROM p))
+                      + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+          FROM nodes LEFT JOIN c2 USING (node)
+        ),
+        c3 AS (
+          SELECT e.dst AS node, SUM(r2.pr // o.outdeg) AS s
+          FROM r2 JOIN outdeg o USING (node) JOIN e ON e.src = r2.node
+          GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT nodes.node,
+                 CAST(15000000000000 // (100 * (SELECT n FROM p))
+                      + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
+          FROM nodes LEFT JOIN c3 USING (node)
+        )
+        SELECT node, pr FROM r3
+    """
+
+    # undirected co-order part graph shared by triangles and k-core; the
+    # ≤1000 group guard mirrors cooccurrence_edges' hot-group drop
+    _co_edges = """
+        grp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM grp GROUP BY g HAVING COUNT(*) <= 1000),
+        e AS (
+          SELECT DISTINCT a.i AS src, b.i AS dst
+          FROM grp a JOIN ok USING (g) JOIN grp b
+            ON a.g = b.g AND a.i < b.i
+        )
+    """
+
+    sql["graph_triangles"] = f"""
+        WITH {_co_edges},
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e e1
+          JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        )
+        SELECT node, COUNT(*) AS triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    """
+
+    sql["graph_kcore"] = f"""
+        WITH {_co_edges},
+        d0 AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+          ) GROUP BY node
+        ),
+        k0 AS (SELECT node FROM d0 WHERE degree >= 2),
+        e1 AS (
+          SELECT src, dst FROM e
+          WHERE src IN (SELECT node FROM k0) AND dst IN (SELECT node FROM k0)
+        ),
+        d1 AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT src AS node FROM e1 UNION ALL SELECT dst AS node FROM e1
+          ) GROUP BY node
+        ),
+        k1 AS (SELECT node FROM d1 WHERE degree >= 2),
+        e2 AS (
+          SELECT src, dst FROM e1
+          WHERE src IN (SELECT node FROM k1) AND dst IN (SELECT node FROM k1)
+        ),
+        d2 AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT src AS node FROM e2 UNION ALL SELECT dst AS node FROM e2
+          ) GROUP BY node
+        ),
+        k2 AS (SELECT node FROM d2 WHERE degree >= 2),
+        e3 AS (
+          SELECT src, dst FROM e2
+          WHERE src IN (SELECT node FROM k2) AND dst IN (SELECT node FROM k2)
+        )
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT src AS node FROM e3 UNION ALL SELECT dst AS node FROM e3
+        ) GROUP BY node
+    """
 
     # extract_relations / embedding_lsh_topk / simhash_sample / minhash
     # internals: no SQL equivalent (vectorized UDF or xxhash64-based) —
