@@ -1188,6 +1188,18 @@ def q_graph_kcore(spark, sf_dir):
     return kcore(_coorder_part_edges(spark, sf_dir), k=2, iters=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    from shacl_validator_spark.operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=10)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from shacl_validator_spark.operators.index import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "severity_summary": q_severity_summary,
@@ -1291,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2720,6 +2734,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, COUNT(*) AS degree FROM (
           SELECT src AS node FROM e3 UNION ALL SELECT dst AS node FROM e3
         ) GROUP BY node
+    """
+
+    # retrieval-index construction: same TOKEN_PATTERN contract as
+    # vocab_topk; tfidf uses the fixed-point rational idf documented in
+    # operators/index.py (exact bigints, no float log)
+    _doc_terms = f"""
+        dt AS (
+          SELECT doc, term, COUNT(*) AS tf FROM (
+            SELECT doc_id AS doc,
+                   unnest(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS term
+            FROM documents
+          ) GROUP BY doc, term
+        )
+    """
+
+    sql["inverted_index"] = f"""
+        WITH {_doc_terms}
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               (list_sort(list(doc)))[1:10] AS postings
+        FROM dt GROUP BY term
+    """
+
+    sql["tfidf_topk"] = f"""
+        WITH {_doc_terms},
+        dfs AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc, term,
+                 CAST(tf * (((SELECT n FROM nn) * 1000000) // df) AS BIGINT) AS score
+          FROM dt JOIN dfs USING (term)
+        ),
+        r AS (
+          SELECT doc, term, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY score DESC, term ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT doc, term, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
     """
 
     # extract_relations / embedding_lsh_topk / simhash_sample / minhash

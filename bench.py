@@ -118,6 +118,7 @@ def run_bench(
         "embedding_lsh_topk",
         "discovery_datasets",
         "extract_relations",
+        "graph_pagerank",
     ]
     if pipeline_only:
         headline = []
