@@ -805,22 +805,34 @@ def _eval(
         for step in sig:
             alts = [_parse_alt(a) for a in step]
             closures = [(m, p) for m, p in alts if "*" in m or "+" in m]
-            if closures:
-                # closure steps are compiled as sole alternatives
-                mods, pred = closures[0]
-                frontier = _closure(
-                    triples, frontier, mods, pred, path_depth, reach_cache
+            plain = [(m, p) for m, p in alts if "*" not in m and "+" not in m]
+            # every alternative of the step contributes to the same frontier
+            # union — a closure appearing among other alternatives
+            # (sh:alternativePath (ex:a [sh:zeroOrMorePath ex:b])) must not
+            # shadow them
+            parts: list[DataFrame] = []
+            if plain:
+                parts.append(_hop(triples, frontier, plain))
+            for mods, pred in closures:
+                parts.append(
+                    _closure(triples, frontier, mods, pred, path_depth, reach_cache)
                 )
-            else:
-                stepped = _hop(triples, frontier, alts)
-                if any("?" in m for m, _ in alts):
-                    # sh:zeroOrOnePath: the zero-length path keeps every
-                    # frontier node as its own value node alongside the
-                    # one-hop neighbours — a union, no extra shuffle
-                    stepped = stepped.unionByName(frontier).dropDuplicates(
-                        _FRONTIER_COLS
-                    )
-                frontier = stepped
+            stepped = parts[0]
+            for p in parts[1:]:
+                stepped = stepped.unionByName(p)
+            zero_one = any("?" in m for m, _ in plain)
+            if zero_one:
+                # sh:zeroOrOnePath: the zero-length path keeps every
+                # frontier node as its own value node alongside the
+                # one-hop neighbours — a union, no extra shuffle (a ``*``
+                # closure already carries the zero-length frontier itself)
+                stepped = stepped.unionByName(frontier)
+            if len(parts) > 1 or zero_one:
+                # only a UNIONED step needs its own dedup barrier; the
+                # sole-plain-hop fast path keeps duplicates flowing into the
+                # per-value aggregation exactly as before (one less shuffle)
+                stepped = stepped.dropDuplicates(_FRONTIER_COLS)
+            frontier = stepped
         vals_parts.append(
             frontier.select(
                 "constraint_id",

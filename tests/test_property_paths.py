@@ -80,25 +80,20 @@ def ref_path_values(
             while i < len(alt) and alt[i] in "^*+?":
                 i += 1
             mods_preds.append((alt[:i], alt[i:]))
-        closures = [(m, p) for m, p in mods_preds if "*" in m or "+" in m]
-        if closures:
-            mods, pred = closures[0]  # closure steps compile as sole alts
+        stepped: set[str] = set()
+        for mods, pred in mods_preds:
             edges = fwd_edges[pred]
             if "^" in mods:
                 edges = {(v, s) for s, v in edges}
-            reach = _closure_reach(edges, PATH_DEPTH)
-            stepped = {d for n in frontier for s, d in reach if s == n}
-            frontier = (frontier | stepped) if "*" in mods else stepped
-        else:
-            stepped = set()
-            for mods, pred in mods_preds:
-                edges = fwd_edges[pred]
-                if "^" in mods:
-                    edges = {(v, s) for s, v in edges}
+            if "*" in mods or "+" in mods:
+                reach = _closure_reach(edges, PATH_DEPTH)
+                hop = {d for n in frontier for s, d in reach if s == n}
+                stepped |= (frontier | hop) if "*" in mods else hop
+            else:
                 stepped |= {d for n in frontier for s, d in edges if s == n}
-            if any("?" in m for m, _ in mods_preds):
-                stepped |= frontier
-            frontier = stepped
+                if "?" in mods:
+                    stepped |= frontier
+        frontier = stepped
     return frontier
 
 
@@ -124,10 +119,16 @@ plain_alt_st = st.builds(
     st.booleans(),
     st.sampled_from(PREDS),
 )
+closure_alt_st = st.builds(
+    lambda m, a: m + a, st.sampled_from(["*", "+"]), plain_alt_st
+)
 step_st = st.one_of(
     st.lists(plain_alt_st, min_size=1, max_size=2),  # plain / inverse / alts
-    st.builds(lambda m, a: [m + a], st.sampled_from(["*", "+"]), plain_alt_st),
+    st.builds(lambda a: [a], closure_alt_st),
     st.builds(lambda a: ["?" + a], plain_alt_st),
+    # sh:alternativePath mixing a closure with a plain alternative — every
+    # alternative must contribute to the step's frontier union
+    st.builds(lambda c, p: [c, p], closure_alt_st, plain_alt_st),
 )
 steps_st = st.lists(step_st, min_size=1, max_size=2)
 
