@@ -36,6 +36,8 @@ LITERALS = [
     ("17", "literal", XSD + "integer", None),
     ("x", "literal", XSD + "integer", None),
     ("hello", "literal", None, "en"),
+    ("howdy", "literal", None, "en-US-x-priv"),
+    ("gday", "literal", None, "EN-GB"),
     ("hola", "literal", None, "es"),
     ("servus", "literal", None, "de"),
     ("plain", "literal", None, None),
@@ -209,9 +211,11 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
                         emit(focus, v, "LessThan")
                 if c.get("language_in") is not None and (
                     lg is None
-                    or (
-                        lg.lower() not in c["language_in"]
-                        and lg.lower().split("-")[0] not in c["language_in"]
+                    # langMatches prefix semantics, mirroring the engine:
+                    # equal, or extending the range at a subtag boundary
+                    or not any(
+                        lg.lower() == r or lg.lower().startswith(r + "-")
+                        for r in c["language_in"]
                     )
                 ):
                     emit(focus, v, "LanguageIn")
@@ -263,7 +267,7 @@ facet_st = st.fixed_dictionaries(
         "max_exclusive": st.sampled_from([17.0]),
         "less_than": st.just(CMP_PRED),
         "unique_lang": st.just(True),
-        "language_in": st.sampled_from([["en"], ["en", "es"]]),
+        "language_in": st.sampled_from([["en"], ["en", "es"], ["en-us"], ["en-gb", "es"]]),
         "has_value": st.sampled_from(["5", "n0"]),
         "min_length": st.integers(1, 3),
         "max_length": st.integers(2, 5),
