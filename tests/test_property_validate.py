@@ -42,8 +42,13 @@ LITERALS = [
     ("servus", "literal", None, "de"),
     ("plain", "literal", None, None),
 ]
+TEMPORALS = [
+    ("2024-01-02", "literal", XSD + "date", None),
+    ("2030-12-31", "literal", XSD + "dateTime", None),
+    ("notadate", "literal", XSD + "dateTime", None),  # 'bad' comparison kind
+]
 IRIS = [("n0", "iri", None, None), ("n1", "iri", None, None)]
-VALUES = LITERALS + IRIS
+VALUES = LITERALS + TEMPORALS + IRIS
 
 
 def _num(v: str) -> float | None:
@@ -89,6 +94,13 @@ def _cmp_kind(v, ot, dt, lg):
     if eff in _CMP_NUMERIC_DT:
         n = _num(v)
         return ("num", n) if n is not None else ("bad", None)
+    if eff in (XSD + "dateTime", XSD + "date"):
+        try:
+            from datetime import datetime
+
+            return ("ts", datetime.strptime(v, "%Y-%m-%d"))
+        except ValueError:
+            return ("bad", None)
     if eff == XSD + "string":
         return ("str", v)
     return ("bad", None)
@@ -143,11 +155,12 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
                         emit(focus, lang, "UniqueLang")
             # lessThan comparison set: SPARQL-'<' domains keyed by
             # effective datatype (mirrors the engine's _lt_kind)
+            _pair_pred = c.get("less_than") or c.get("less_than_or_equals")
             cmp_nodes = {
                 (v, ot, dt, lg)
                 for s, p, v, ot, dt, lg, g in triples
-                if s == focus and p == c.get("less_than")
-            } if c.get("less_than") else set()
+                if s == focus and p == _pair_pred
+            } if _pair_pred else set()
             cmp_kinds = {_cmp_kind(*nd)[0] for nd in cmp_nodes}
             cmp_min = min(
                 (
@@ -209,6 +222,16 @@ def ref_validate(triples: list[tuple], constraints: list[dict]) -> set[tuple]:
                     )
                     if incomparable or (cmp_min is not None and v_cmp >= cmp_min):
                         emit(focus, v, "LessThan")
+                if c.get("less_than_or_equals") is not None and cmp_nodes:
+                    v_k, v_cmp = _cmp_kind(v, ot, dt, lg)
+                    incomparable = (
+                        len(cmp_kinds) > 1
+                        or "bad" in cmp_kinds
+                        or v_k == "bad"
+                        or v_k not in cmp_kinds
+                    )
+                    if incomparable or (cmp_min is not None and v_cmp > cmp_min):
+                        emit(focus, v, "LessThanOrEquals")
                 if c.get("language_in") is not None and (
                     lg is None
                     # langMatches prefix semantics, mirroring the engine:
@@ -266,6 +289,7 @@ facet_st = st.fixed_dictionaries(
         "min_exclusive": st.sampled_from([5.0]),
         "max_exclusive": st.sampled_from([17.0]),
         "less_than": st.just(CMP_PRED),
+        "less_than_or_equals": st.just(CMP_PRED),
         "unique_lang": st.just(True),
         "language_in": st.sampled_from([["en"], ["en", "es"], ["en-us"], ["en-gb", "es"]]),
         "has_value": st.sampled_from(["5", "n0"]),
@@ -299,6 +323,10 @@ def _mk_constraints(raw: list[tuple]) -> list[dict]:
             "foaf_page": None,
         }
         row.update(facets)
+        # the compiler emits one sibling-pair facet per row (_slot); mirror
+        # that input contract here
+        if row.get("less_than") is not None and row.get("less_than_or_equals") is not None:
+            row["less_than_or_equals"] = None
         rows.append(row)
     return rows
 
