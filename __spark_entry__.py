@@ -324,7 +324,17 @@ def q_shacl_node_nested(spark, sf_dir):
 
 def q_shacl_qualified_min(spark, sf_dir):
     """sh:qualifiedValueShape + sh:qualifiedMinCount."""
-    return _violations_of(spark, sf_dir, "QualifiedMinCount")
+    # path filter: the qualifiedValueShapesDisjoint fixture (ex:segment)
+    # also emits QualifiedMinCount rows
+    return _violations_of(spark, sf_dir, "QualifiedMinCount", path="ex:label")
+
+
+def q_shacl_qualified_disjoint(spark, sf_dir):
+    """sh:qualifiedValueShapesDisjoint (SHACL core \u00a74.5.3): a value
+    conforming to a sibling qualified shape counts toward neither
+    cardinality \u2014 fires qualifiedMinCount for exactly the customers
+    whose segment also matches the sibling '^B' shape."""
+    return _violations_of(spark, sf_dir, "QualifiedMinCount", path="ex:segment")
 
 
 def q_shacl_not(spark, sf_dir):
@@ -1230,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_or_general": q_shacl_or_general,
         "shacl_node_nested": q_shacl_node_nested,
         "shacl_qualified_min": q_shacl_qualified_min,
+        "shacl_qualified_disjoint": q_shacl_qualified_disjoint,
         "shacl_not": q_shacl_not,
         "shacl_and": q_shacl_and,
         "shacl_xone": q_shacl_xone,
@@ -1587,6 +1598,16 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_custkey % 4 <> 0
     """
 
+    sql["shacl_qualified_disjoint"] = f"""
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               'ex:segment' AS resultPath,
+               CAST(NULL AS VARCHAR) AS value,
+               'Info' AS resultSeverity,
+               'http://www.w3.org/ns/shacl#QualifiedMinCountConstraintComponent' AS sourceConstraintComponent,
+               '{_CUST_SHAPE}' AS sourceShape
+        FROM customer WHERE c_mktsegment LIKE 'B%'
+    """
+
     sql["shacl_not"] = f"""
         SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
                'ex:label' AS resultPath,
@@ -1797,6 +1818,9 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#QualifiedMinCountConstraintComponent', 'Info'
           FROM customer WHERE c_custkey % 4 <> 0
+          UNION ALL
+          SELECT 'http://www.w3.org/ns/shacl#QualifiedMinCountConstraintComponent', 'Info'
+          FROM customer WHERE c_mktsegment LIKE 'B%'
           UNION ALL
           SELECT 'http://www.w3.org/ns/shacl#NotConstraintComponent', 'Warning'
           FROM customer WHERE c_custkey % 6 = 0

@@ -183,6 +183,13 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("qvs_branch", BRANCH_SCHEMA, True),
         T.StructField("q_min_count", T.IntegerType(), True),
         T.StructField("q_max_count", T.IntegerType(), True),
+        # sh:qualifiedValueShapesDisjoint: when true, a value node counts
+        # toward the qualified cardinality only if it does NOT conform to
+        # any sibling qualified value shape (the qualified shapes of the
+        # parent node shape's OTHER property shapes, SHACL core §4.5.3) —
+        # the compiler wires the sibling branches onto the row
+        T.StructField("qvs_disjoint", T.BooleanType(), True),
+        T.StructField("qvs_sibling_branches", T.ArrayType(BRANCH_SCHEMA), True),
         # sh:closed node-shape row (no path): every (focus, p, o) whose p is
         # outside ``closed_allowed`` (the shape's property paths plus
         # sh:ignoredProperties) is a violation with resultPath = p

@@ -135,6 +135,8 @@ FACET_FIELDS = [
     "qvs_branch",
     "q_min_count",
     "q_max_count",
+    "qvs_disjoint",
+    "qvs_sibling_branches",
     "severity",
     "messages",
     "shape_iri",
@@ -587,7 +589,7 @@ def _branch_refs(r: dict) -> list[str]:
         b = r.get(key)
         if b and b.get("node_ref"):
             refs.append(b["node_ref"])
-    for key in ("or_branches", "and_branches", "xone_branches"):
+    for key in ("or_branches", "and_branches", "xone_branches", "qvs_sibling_branches"):
         for b in r.get(key) or []:
             if b.get("node_ref"):
                 refs.append(b["node_ref"])
@@ -710,7 +712,7 @@ def _has_branch_class(r: dict) -> bool:
         b = r.get(key)
         if b and b.get("class_iri"):
             return True
-    for key in ("or_branches", "and_branches", "xone_branches"):
+    for key in ("or_branches", "and_branches", "xone_branches", "qvs_sibling_branches"):
         if any(b.get("class_iri") for b in r.get(key) or []):
             return True
     return False
@@ -728,7 +730,7 @@ def _level_classes(rows: list[dict]) -> set[str]:
             b = r.get(key)
             if b and b.get("class_iri"):
                 out.add(b["class_iri"])
-        for key in ("or_branches", "and_branches", "xone_branches"):
+        for key in ("or_branches", "and_branches", "xone_branches", "qvs_sibling_branches"):
             for b in r.get(key) or []:
                 if b.get("class_iri"):
                     out.add(b["class_iri"])
@@ -1372,11 +1374,22 @@ def _eval(
                 F.col("has_value").isNotNull()
                 & (F.col("object_value") == F.col("has_value"))
             ).alias("_hv"),
-            # sh:qualifiedValueShape conformance flag per value node
+            # sh:qualifiedValueShape conformance flag per value node; with
+            # sh:qualifiedValueShapesDisjoint the node must additionally
+            # NOT conform to any sibling qualified shape (SHACL §4.5.3)
             (
                 (
                     F.col("qvs_branch").isNotNull()
                     & _branch_conf(F.col("qvs_branch"))
+                    & ~(
+                        F.coalesce(F.col("qvs_disjoint"), F.lit(False))
+                        & F.coalesce(
+                            F.exists(
+                                F.col("qvs_sibling_branches"), _branch_conf
+                            ),
+                            F.lit(False),
+                        )
+                    )
                 )
                 if _has("qvs_branch")
                 else F.lit(False)

@@ -531,6 +531,8 @@ _ROW_DEFAULTS = {
     "qvs_branch": None,
     "q_min_count": None,
     "q_max_count": None,
+    "qvs_disjoint": None,
+    "qvs_sibling_branches": None,
     "nested_under": None,
 }
 
@@ -602,8 +604,13 @@ def _compile_nested(g: ParsedGraph, shape: str, ctx: _Ctx) -> None:
     if shape in ctx.seen:
         return
     ctx.seen.add(shape)
-    for prop_t in g.objects(shape, SH + "property"):
-        for facets in _prop_constraints(g, prop_t.value, shape, ctx):
+    facet_lists = [
+        _prop_constraints(g, prop_t.value, shape, ctx)
+        for prop_t in g.objects(shape, SH + "property")
+    ]
+    _wire_qvs_siblings(facet_lists)
+    for facets_list in facet_lists:
+        for facets in facets_list:
             facets["nested_under"] = shape
             ctx.defs.append(facets)
 
@@ -753,7 +760,30 @@ def _prop_constraints(
         out[0]["qvs_branch"] = _branch_of(g, qvs_t, ctx)
         out[0]["q_min_count"] = _int_of(g.first(prop, SH + "qualifiedMinCount"))
         out[0]["q_max_count"] = _int_of(g.first(prop, SH + "qualifiedMaxCount"))
+        qd_t = g.first(prop, SH + "qualifiedValueShapesDisjoint")
+        if qd_t is not None and qd_t.value == "true":
+            # sibling branches (the OTHER property shapes' qualified value
+            # shapes, SHACL §4.5.3) are wired by compile_shapes once every
+            # property shape of the parent node shape is compiled
+            out[0]["qvs_disjoint"] = True
     return out
+
+
+def _wire_qvs_siblings(facet_lists: list[list[dict]]) -> None:
+    """Attach sibling qualified-value-shape branches to every row flagged
+    ``qvs_disjoint`` — siblings are the qvs branches contributed by the
+    parent node shape's OTHER property shapes (``facet_lists`` holds one
+    list per property shape)."""
+    qvs_rows = [
+        (i, f)
+        for i, fl in enumerate(facet_lists)
+        for f in fl
+        if f.get("qvs_branch") is not None
+    ]
+    for i, f in qvs_rows:
+        if f.get("qvs_disjoint"):
+            sibs = [f2["qvs_branch"] for j, f2 in qvs_rows if j != i]
+            f["qvs_sibling_branches"] = sibs or None
 
 
 def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
@@ -814,8 +844,13 @@ def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
         )
         foaf_page_t = g.first(shape, "http://xmlns.com/foaf/0.1/page")
         foaf_page = foaf_page_t.value if foaf_page_t is not None else None
-        for prop_t in g.objects(shape, SH + "property"):
-            for facets in _prop_constraints(g, prop_t.value, shape, ctx):
+        facet_lists = [
+            _prop_constraints(g, prop_t.value, shape, ctx)
+            for prop_t in g.objects(shape, SH + "property")
+        ]
+        _wire_qvs_siblings(facet_lists)
+        for facets_list in facet_lists:
+            for facets in facets_list:
                 if facets["foaf_page"] is None:
                     facets["foaf_page"] = foaf_page
                 for tkind, tval in shape_targets:

@@ -601,6 +601,8 @@ def customer_constraints() -> list[dict]:
             "qvs_branch": None,
             "q_min_count": None,
             "q_max_count": None,
+            "qvs_disjoint": None,
+            "qvs_sibling_branches": None,
             "nested_under": None,
             "severity": "Violation",
             "messages": None,
@@ -893,6 +895,21 @@ def customer_constraints() -> list[dict]:
             qvs_branch=branch(pattern="^dup "),
             q_max_count=0,
             severity="Warning",
+        ),
+        # sh:qualifiedValueShapesDisjoint (SHACL \u00a74.5.3): every segment
+        # conforms to the qualified shape (uppercase), but segments starting
+        # with 'B' ALSO conform to the sibling shape and so count toward
+        # NEITHER \u2014 qualifiedMinCount 1 fires for exactly the BUILDING-
+        # segment customers
+        row(
+            36,
+            path=EX + "segment",
+            path_steps=[[EX + "segment"]],
+            qvs_branch=branch(pattern="^[A-Z]+$"),
+            q_min_count=1,
+            qvs_disjoint=True,
+            qvs_sibling_branches=[branch(pattern="^B")],
+            severity="Info",
         ),
         # sh:zeroOrOnePath: ex:partof? over typed nations with maxCount 1 —
         # the zero-length hop makes the focus its own value node, so EVEN

@@ -226,6 +226,47 @@ def test_qualified_value_shape(spark):
     }
 
 
+def test_qualified_value_shapes_disjoint(spark):
+    """SHACL core \u00a74.5.3 (the spec's Hand example): with
+    sh:qualifiedValueShapesDisjoint a digit typed BOTH Thumb and Finger
+    counts toward NEITHER qualified cardinality."""
+    shapes = compile_shapes(
+        PREFIX
+        + """
+    ex:HandShape a sh:NodeShape ; sh:targetClass ex:Hand ;
+        sh:property [ sh:path ex:digit ;
+            sh:qualifiedValueShape [ sh:class ex:Thumb ] ;
+            sh:qualifiedValueShapesDisjoint true ;
+            sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 1 ] ;
+        sh:property [ sh:path ex:digit ;
+            sh:qualifiedValueShape [ sh:class ex:Finger ] ;
+            sh:qualifiedValueShapesDisjoint true ;
+            sh:qualifiedMinCount 4 ; sh:qualifiedMaxCount 4 ] .
+    """
+    )
+    qvs_rows = [r for r in shapes if r.get("qvs_branch")]
+    assert len(qvs_rows) == 2
+    for r in qvs_rows:
+        assert r["qvs_disjoint"] is True
+        assert len(r["qvs_sibling_branches"]) == 1
+    data = PREFIX + """
+    d:t1 a ex:Thumb . d:f1 a ex:Finger . d:f2 a ex:Finger .
+    d:f3 a ex:Finger . d:f4 a ex:Finger .
+    d:ok a ex:Hand ; ex:digit d:t1, d:f1, d:f2, d:f3, d:f4 .
+
+    d:t2 a ex:Thumb, ex:Finger . d:g1 a ex:Finger . d:g2 a ex:Finger .
+    d:g3 a ex:Finger . d:g4 a ex:Finger .
+    d:odd a ex:Hand ; ex:digit d:t2, d:g1, d:g2, d:g3, d:g4 .
+    """
+    bad = validate(spark, triples_from_turtle(spark, data), shapes).collect()
+    # d:odd's thumb also conforms to the sibling Finger shape, so it counts
+    # toward neither: thumbs 0 < 1 fires; fingers stay exactly 4 (d:t2 is
+    # excluded from the finger count by the same disjointness rule)
+    assert [(r.focusNode.split("#")[-1], r.sourceConstraintComponent) for r in bad] == [
+        ("odd", SH + "QualifiedMinCountConstraintComponent")
+    ]
+
+
 # --------------------------------------------------------------------------
 # inverse + zero-or-more paths
 # --------------------------------------------------------------------------

@@ -142,7 +142,15 @@ def ref_validate_logical(triples: list[tuple], constraints: list[dict]) -> set[t
                 ):
                     out.add((focus, path, v, sev, "Not"))
             if c.get("qvs_branch") is not None:
-                n_q = sum(branch_conf(c["qvs_branch"], *nd, typed) for nd in nodes)
+                sibs = c.get("qvs_sibling_branches") or []
+                n_q = sum(
+                    branch_conf(c["qvs_branch"], *nd, typed)
+                    and not (
+                        c.get("qvs_disjoint")
+                        and any(branch_conf(sb, *nd, typed) for sb in sibs)
+                    )
+                    for nd in nodes
+                )
                 if c.get("q_min_count") is not None and n_q < c["q_min_count"]:
                     out.add((focus, path, None, sev, "QualifiedMinCount"))
                 if c.get("q_max_count") is not None and n_q > c["q_max_count"]:
@@ -190,6 +198,8 @@ logical_st = st.one_of(
             branch_st,
             st.one_of(st.none(), st.integers(0, 2)),
             st.one_of(st.none(), st.integers(0, 1)),
+            # optional sh:qualifiedValueShapesDisjoint sibling branch
+            st.one_of(st.none(), branch_st),
         ),
     ),
 )
@@ -215,10 +225,14 @@ def _mk_constraints(raw: list[tuple]) -> list[dict]:
             "severity": "Violation",
         }
         if kind == "qvs":
-            b, qmin, qmax = payload
+            b, qmin, qmax, sib = payload
             if qmin is None and qmax is None:
                 qmin = 1  # a count-less qualified shape checks nothing
             row.update({"qvs_branch": b, "q_min_count": qmin, "q_max_count": qmax})
+            if sib is not None:
+                row.update(
+                    {"qvs_disjoint": True, "qvs_sibling_branches": [sib]}
+                )
         else:
             row[kind] = payload
         rows.append(row)
