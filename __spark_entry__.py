@@ -777,6 +777,53 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+# 16 tokens exactly — aligns on the chunk_dedup window boundary so the
+# injected boilerplate is ONE shared chunk per tagged doc
+_BOILERPLATE = (
+    "subscribe to our newsletter accept all cookies this site uses"
+    " tracking terms of service apply here"
+)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document boilerplate removal (RefinedWeb-style line dedup over
+    fixed 16-token windows): every third document gets a deterministic
+    16-token boilerplate prefix (corpus texts themselves are unique, so
+    without injection nothing would be shared); the operator must drop
+    exactly that chunk from the tagged docs and leave everything else
+    byte-identical."""
+    from shacl_validator_spark.operators.dedup import chunk_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return chunk_dedup(d, window=16, max_docs=2).select(
+        "doc_id", "n_chunks", "n_kept", F.md5("clean_text").alias("clean_hash")
+    )
+
+
+def q_lm_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: per-document average token log
+    probability under a corpus-fitted unigram model."""
+    from shacl_validator_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_knn_graph(spark, sf_dir):
+    """Exact kNN graph over the embedding table (k=5 cosine neighbors per
+    vector + mutual-edge flag) — the SemDeDup/HNSW construction input."""
+    from shacl_validator_spark.operators.similarity import knn_graph
+
+    return knn_graph(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sample (training-mix construction):
     exactly 40 docs per lang, ranked by md5(doc_id) — reproducible in any
@@ -1276,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "clean_corpus": q_clean_corpus,
         "dedup_clusters": q_dedup_clusters,
+        "chunk_dedup": q_chunk_dedup,
+        "lm_logprob": q_lm_logprob,
+        "knn_graph": q_knn_graph,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2135,6 +2185,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(3 AS BIGINT) AS n_members,
                [doc_id, doc_id + 1000000, doc_id + 2000000] AS members
         FROM documents
+    """
+
+    sql["chunk_dedup"] = f"""
+        WITH tagged AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN '{_BOILERPLATE} ' || text
+                      ELSE text END AS text
+          FROM documents
+        ),
+        norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+          FROM tagged
+        ),
+        chunks AS (
+          SELECT doc_id, g.i AS pos,
+                 array_to_string(t[g.i*16+1 : g.i*16+16], ' ') AS chunk
+          FROM norm, LATERAL (
+            SELECT unnest(generate_series(0, CAST(floor((len(t)-1)/16.0) AS BIGINT))) AS i
+          ) g
+        ),
+        counts AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+        kept AS (
+          SELECT c.doc_id, count(*) AS n_kept,
+                 string_agg(c.chunk, ' ' ORDER BY c.pos) AS clean_text
+          FROM chunks c JOIN counts USING (chunk)
+          WHERE counts.nd < 2
+          GROUP BY c.doc_id
+        ),
+        stats AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(s.n_chunks AS BIGINT) AS n_chunks,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(COALESCE(k.clean_text, '')) AS clean_hash
+        FROM stats s LEFT JOIN kept k USING (doc_id)
+    """
+
+    sql["lm_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS t
+          FROM documents
+        ),
+        dt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT t, sum(c) AS n FROM dt GROUP BY 1),
+        tot AS (SELECT sum(n) AS ntot FROM vocab)
+        SELECT dt.doc_id,
+               CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+               ROUND(sum(dt.c * ln(vocab.n / tot.ntot)) / sum(dt.c), 6) AS logprob
+        FROM dt JOIN vocab USING (t), tot
+        GROUP BY dt.doc_id
+    """
+
+    sql["knn_graph"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        )
+        SELECT e.src, e.dst, e.cos, CAST(e.rank AS INT) AS rank,
+               CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+        FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
     """
 
     sql["repetition_stats"] = """

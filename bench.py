@@ -107,6 +107,8 @@ def run_bench(
         "dedup_clusters",
         "clean_corpus",
         "repetition_stats",
+        "chunk_dedup",
+        "lm_logprob",
         "decontaminate",
         "unicode_nfc",
         "asof_view_click",

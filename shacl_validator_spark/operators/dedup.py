@@ -331,6 +331,89 @@ def clean_corpus(
     return out
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Sub-document boilerplate removal (the RefinedWeb/CCNet "line-level
+    dedup" gate, expressed over fixed token windows because web text loses
+    its line structure after extraction): split each document into
+    consecutive ``window``-token chunks, drop every chunk that appears in
+    ``max_docs`` or more DISTINCT documents (navigation bars, cookie
+    banners, license footers), and reassemble the survivors in order.
+
+    Returns one row per input document: ``(id_col, n_chunks, n_kept,
+    clean_text)`` — ``n_kept < n_chunks`` marks docs that lost boilerplate,
+    ``n_kept = 0`` docs that were pure boilerplate (``clean_text = ''``).
+
+    Chunking contract: text is whitespace-normalized (``_normalized``),
+    split on single spaces, and sliced into non-overlapping windows; the
+    final partial window is a chunk too (a shared footer shorter than
+    ``window`` still dedups when it lands on the same boundary).
+
+    Scale notes (100 TB): chunk rows are ~window tokens each, so the
+    explode multiplies row count by ~n_tokens/window without multiplying
+    bytes.  The frequency pass groups by md5(chunk) — 16-byte keys, never
+    the chunk text — and ``count_distinct(doc)`` is the only corpus-wide
+    shuffle; at cluster scale swap it for approx_count_distinct (the gate
+    only needs "≥ max_docs", and HLL error at 2 is zero) to make the pass
+    fully map-side-combining.  The count-attach join is hash-keyed and
+    left to AQE; hyper-frequent boilerplate chunks are single rows on the
+    build side, not skewed probe keys.  Reassembly shuffles once keyed by
+    doc id; per-doc chunk arrays are bounded by document length, not
+    corpus size.
+    """
+    tok_arr = F.split(_normalized(F.col(text_col)), " ")
+    # single-element-array binding (see word_ngrams): Catalyst does not CSE
+    # through higher-order lambdas, so a free tok_arr reference would re-run
+    # the normalize+split once per chunk per row
+    chunks_arr = F.element_at(
+        F.transform(
+            F.array(tok_arr),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(t) - 1) / window).cast("int")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i * window + 1, window)
+                ),
+            ),
+        ),
+        1,
+    )
+    chunked = docs.select(
+        F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk")
+    ).withColumn("_h", F.md5("chunk"))
+    counts = chunked.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    kept = (
+        chunked.join(counts, "_h")
+        .filter(F.col("_nd") < max_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    stats = chunked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return stats.join(kept, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -199,6 +199,60 @@ def vocab_top_k(
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: the average per-token log
+    probability of each document under a unigram model fitted on the corpus
+    itself (the cheap stand-in for the KenLM perplexity gate every published
+    web-corpus recipe applies — documents whose tokens are corpus-typical
+    score high, keyword-stuffed or garbled ones score low).
+
+    Tokens are ``TOKEN_PATTERN`` matches over lowercased text (the same
+    contract as ``vocab_top_k`` / ``functions.text.token_count``).  Output:
+    ``(id_col, n_tokens, logprob)`` where ``logprob`` = Σ c(d,t)·ln(n(t)/N)
+    / Σ c(d,t), rounded to 6 decimals so the value is comparable across
+    engines regardless of summation order.
+
+    Scale notes (100 TB): the per-(doc, token) count combines map-side, so
+    the first shuffle carries one row per distinct (doc, token); the
+    vocabulary aggregation reuses those rows keyed by token (Zipf: heavy
+    tokens collapse to one row per map task).  The count-attach join is
+    token-keyed and left to AQE — a web-scale vocabulary (10^7-10^8 rows)
+    broadcast-joins only when it fits, otherwise both sides are already
+    token-partitioned from the vocab agg.  The corpus total N is a one-row
+    aggregate, broadcast via cross-join.  No Python anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("_t"),
+    )
+    per_doc_tok = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    # vocab/total share per_doc_tok's lineage — explicit dataframe aliases
+    # keep the self-join column references unambiguous
+    vocab = per_doc_tok.groupBy("_t").agg(F.sum("_c").alias("_n"))
+    total = vocab.select(F.sum("_n").alias("_tot"))
+    return (
+        per_doc_tok.alias("L")
+        .join(vocab.alias("R"), F.col("L._t") == F.col("R._t"))
+        .select("L.*", "R._n")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_c") * F.log(F.col("_n") / F.col("_tot")))
+                / F.sum("_c"),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     probes: DataFrame,

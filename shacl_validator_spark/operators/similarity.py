@@ -77,6 +77,67 @@ def brute_force_topk(
     )
 
 
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-nearest-neighbor graph over the whole embedding table: for every
+    vector, its top-``k`` cosine neighbors, plus a ``mutual`` flag marking
+    edges present in both directions — the input to SemDeDup-style semantic
+    dedup (cluster the mutual-kNN graph, keep one doc per cluster) and to
+    graph-based retrieval indexes (HNSW layer-0 construction starts from
+    exactly this relation).
+
+    Returns ``(src, dst, cos, rank, mutual)`` with rank ≤ k per src,
+    deterministic tie-break (cos desc, dst asc), cosine rounded to 6
+    decimals so ranking is stable across engines.
+
+    This is the EXACT baseline: an n² self-join, correct at any n but
+    quadratic — the oracle contract and the verifier for approximate
+    variants.  At 100 TB scale, block first and reuse this shape within
+    blocks: assign vectors to IVF cells (``ivf_topk``'s codebook) and
+    self-join within cell ∪ nprobe neighbor cells, or band hyperplane
+    signatures (``lsh_topk``) — both turn the n² pair space into a
+    per-bucket quadratic, the same design as ``minhash_lsh_pairs``.  Norms
+    are computed once per side BEFORE the join, so the join itself is one
+    zip_with dot product per pair, all JVM-side.
+    """
+    va = vectors.select(
+        F.col(id_col).alias("src"), as_double(F.col(vec_col)).alias("_va")
+    ).withColumn("_na", _norm(F.col("_va")))
+    vb = vectors.select(
+        F.col(id_col).alias("dst"), as_double(F.col(vec_col)).alias("_vb")
+    ).withColumn("_nb", _norm(F.col("_vb")))
+    scored = (
+        va.crossJoin(vb)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.col("dst"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos", "rank")
+    )
+    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    return edges.join(
+        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
+    ).select(
+        "src",
+        "dst",
+        "cos",
+        "rank",
+        F.col("_rs").isNotNull().cast("int").alias("mutual"),
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

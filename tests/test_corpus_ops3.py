@@ -1,0 +1,97 @@
+"""Round-3 corpus operators: chunk-level boilerplate dedup, unigram-LM
+quality scoring, and kNN-graph construction (exact baseline)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from shacl_validator_spark.operators.dedup import chunk_dedup
+from shacl_validator_spark.operators.quality import unigram_logprob
+from shacl_validator_spark.operators.similarity import knn_graph
+
+
+def test_chunk_dedup_drops_shared_chunks(spark):
+    # window=2: docs a/b share the chunk "nav bar" at position 0; doc c is
+    # unique; doc d is PURE boilerplate (both its chunks shared with e)
+    rows = [
+        (1, "nav bar alpha beta"),
+        (2, "nav bar gamma delta"),
+        (3, "unique text entirely here"),
+        (4, "foot er legal text"),
+        (5, "foot er legal text extra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, window=2, max_docs=2).collect()
+    }
+    assert len(out) == 5  # every input doc has an output row
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[2]["clean_text"] == "gamma delta"
+    # unique doc untouched
+    assert out[3]["n_kept"] == out[3]["n_chunks"] == 2
+    assert out[3]["clean_text"] == "unique text entirely here"
+    # doc 4 loses both chunks (shared with doc 5) -> empty survivor
+    assert out[4]["n_kept"] == 0 and out[4]["clean_text"] == ""
+    # doc 5's trailing PARTIAL chunk "extra" is unique and survives
+    assert out[5]["n_kept"] == 1 and out[5]["clean_text"] == "extra"
+
+
+def test_chunk_dedup_reassembles_in_order(spark):
+    # shared chunk sits in the MIDDLE; survivors must rejoin in position order
+    rows = [
+        (1, "aa bb shared one cc dd"),
+        (2, "xx yy shared one zz ww"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, window=2, max_docs=2).collect()}
+    assert out[1]["clean_text"] == "aa bb cc dd"
+    assert out[2]["clean_text"] == "xx yy zz ww"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, N=5
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp = lambda n: math.log(n / 5)  # noqa: E731
+    exp1 = (2 * lp(2) + 1 * lp(2)) / 3
+    exp2 = (lp(2) + lp(1)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logprob"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["logprob"] == pytest.approx(exp2, abs=1e-6)
+    # typical doc (common tokens) scores HIGHER than rare-token doc
+    assert out[1]["logprob"] > out[2]["logprob"]
+
+
+def test_knn_graph_neighbors_and_mutual(spark):
+    # 2-d toy: v0/v1 nearly parallel (mutual rank-1), v2 orthogonal-ish
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    edges = {(r["src"], r["dst"]): r for r in knn_graph(emb, k=1).collect()}
+    assert set(edges) == {(0, 1), (1, 0), (2, 1)}
+    assert edges[(0, 1)]["mutual"] == 1 and edges[(1, 0)]["mutual"] == 1
+    assert edges[(2, 1)]["mutual"] == 0
+    assert edges[(0, 1)]["rank"] == 1
+
+
+def test_knn_graph_rank_bound_and_degree(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn_graph(emb, k=3).collect()
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    from collections import Counter
+
+    deg = Counter(r["src"] for r in rows)
+    assert all(v == 3 for v in deg.values()) and len(deg) == 6
