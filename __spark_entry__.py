@@ -824,6 +824,22 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over embeddings ∪ an exact shifted copy of every vector:
+    cross-vector cosines top out well below the 0.95 threshold (max ≈0.6
+    in this corpus), so the clusters are analytically exactly the
+    (original, copy) pairs."""
+    from shacl_validator_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return semantic_dedup(doubled, threshold=0.95, k=5)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sample (training-mix construction):
     exactly 40 docs per lang, ranked by md5(doc_id) — reproducible in any
@@ -1326,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "lm_logprob": q_lm_logprob,
         "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2254,6 +2271,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.src, e.dst, e.cos, CAST(e.rank AS INT) AS rank,
                CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
         FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+    """
+
+    sql["semantic_dedup"] = """
+        SELECT vec_id AS cluster_id,
+               CAST(2 AS BIGINT) AS n_members,
+               [vec_id, vec_id + 1000000] AS members
+        FROM embeddings
     """
 
     sql["repetition_stats"] = """

@@ -138,6 +138,61 @@ def knn_graph(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings whose cosine
+    similarity exceeds ``threshold`` and keep one representative per
+    cluster — semantic near-dup removal where MinHash misses (paraphrases,
+    templated rewrites with low lexical overlap).
+
+    Builds the ``knn_graph`` edge relation, keeps edges with cos ≥
+    threshold, closes them transitively (connected components — A≈B≈C is
+    ONE cluster even when cos(A,C) < threshold), and returns one row per
+    multi-member cluster: ``(cluster_id, n_members, members)`` with
+    ``cluster_id`` = numeric-min member (the keeper).  Singletons are
+    implicitly kept and not returned — the same contract as
+    ``dedup.near_dup_clusters``.
+
+    ``k`` bounds per-node edge degree; it must be ≥ the largest expected
+    duplicate-group size for exact transitive closure (a group of g copies
+    needs each member to see at least one other member in its top-k, which
+    k ≥ 1 already gives — k ≥ g merely makes the edge set maximal).
+
+    Scale notes (100 TB): the exact ``knn_graph`` core is the oracle
+    contract; at corpus scale swap it for the blocked form (IVF cells /
+    banded hyperplane LSH — see ``knn_graph``'s docstring) and keep
+    everything downstream unchanged: the thresholded edge set is tiny
+    relative to the corpus, and connected components collapses to the
+    driver union-find below the small-graph gate.
+    """
+    from .components import connected_components
+
+    edges = knn_graph(vectors, k=k, id_col=id_col, vec_col=vec_col).filter(
+        F.col("cos") >= threshold
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")  # noqa: E731
+    labels = connected_components(
+        edges.select(pad("src").alias("src"), pad("dst").alias("dst"))
+    ).select(
+        F.col("node").cast("long").alias("_id"),
+        F.col("component").cast("long").alias("_label"),
+    )
+    return (
+        labels.groupBy(F.col("_label").alias("cluster_id"))
+        .agg(F.sort_array(F.collect_list("_id")).alias("members"))
+        .select(
+            "cluster_id",
+            F.size("members").cast("long").alias("n_members"),
+            "members",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -84,6 +84,27 @@ def test_knn_graph_neighbors_and_mutual(spark):
     assert edges[(0, 1)]["rank"] == 1
 
 
+def test_semantic_dedup_transitive_chain(spark):
+    """A≈B and B≈C cluster together even though cos(A,C) < threshold —
+    the closure is transitive, not pairwise."""
+    import math
+
+    from shacl_validator_spark.operators.similarity import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # τ = 0.966 ≈ cos 15°: A-B (14°) and B-C (14°) pass, A-C (28°) fails
+    vecs = [(0, unit(0.0)), (1, unit(14.0)), (2, unit(28.0)), (3, unit(90.0))]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, threshold=0.966, k=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["cluster_id"] == 0
+    assert row["n_members"] == 3 and row["members"] == [0, 1, 2]
+
+
 def test_knn_graph_rank_bound_and_degree(spark):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(6)],
