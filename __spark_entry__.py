@@ -824,6 +824,21 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
 
 
+def q_knn_graph_ivf_exact(spark, sf_dir):
+    """IVF-blocked kNN graph with nprobe=nlist (exhaustive probing) — must
+    equal the exact graph, so it shares knn_graph's oracle (the
+    embedding_ivf_exact pattern)."""
+    from shacl_validator_spark.operators.similarity import knn_graph_blocked
+
+    return knn_graph_blocked(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=5,
+        nlist=8,
+        nprobe=8,
+        iters=2,
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over embeddings ∪ an exact shifted copy of every vector:
     cross-vector cosines top out well below the 0.95 threshold (max ≈0.6
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logprob": q_lm_logprob,
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
+        "knn_graph_ivf_exact": q_knn_graph_ivf_exact,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2272,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
         FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
     """
+
+    sql["knn_graph_ivf_exact"] = sql["knn_graph"]
 
     sql["semantic_dedup"] = """
         SELECT vec_id AS cluster_id,

@@ -138,6 +138,98 @@ def knn_graph(
     )
 
 
+def knn_graph_blocked(
+    vectors: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100-TB form of ``knn_graph``: IVF-cell blocking instead of the
+    n² self-join.  Every vector is assigned to its nearest codebook cell
+    (one cell per vector); as a PROBE it explodes into its ``nprobe``
+    nearest cells; candidates are the cell-equi-join of probes × assigned
+    — compared pairs drop by ~nlist/nprobe, and because each candidate
+    lives in exactly one cell no pair is generated twice (no dedup pass).
+    ``nprobe == nlist`` makes the probe set exhaustive, so the output is
+    IDENTICAL to ``knn_graph`` (the equivalence the tests pin); smaller
+    nprobe trades recall at cell boundaries for the pair-count reduction.
+
+    Same output contract as ``knn_graph``: (src, dst, cos, rank, mutual),
+    rank ≤ k per src — except a src sees only candidates in its probed
+    cells, so tail ranks may differ where the true neighbor sits in an
+    unprobed cell.
+
+    Scale notes: the join is keyed by cell (nlist keys) — size nlist to
+    the cluster (≥ #cores × small constant) and watch hot cells (a dense
+    semantic cluster lands in one cell; the within-cell candidate count is
+    quadratic in cell size).  At 10^12 rows, write ``assigned`` partitioned
+    by cell so the probe side co-locates without a shuffle, and salt any
+    cell whose count exceeds the partition budget.
+    """
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    seeds = _ivf_codebook(v, nlist, iters, id_col)
+    if not seeds:
+        return knn_graph(vectors, k, id_col, vec_col)
+    nlist = len(seeds)
+    cents_col = _centroid_lit(seeds)
+    assigned = v.select(
+        F.col(id_col).alias("dst"),
+        F.col("_v").alias("_vb"),
+        _cell_of(F.col("_v"), cents_col).alias("cell"),
+        _norm(F.col("_v")).alias("_nb"),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nlist - 1)),
+                    lambda j: F.struct(
+                        _l2sq(F.col("_va"), F.element_at(cents_col, j + 1)).alias("d"),
+                        j.cast("int").alias("j"),
+                    ),
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        1,
+        min(nprobe, nlist),
+    )
+    probes = (
+        v.select(F.col(id_col).alias("src"), F.col("_v").alias("_va"))
+        .withColumn("_na", _norm(F.col("_va")))
+        .withColumn("cell", F.explode(probe_cells))
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.col("dst"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos", "rank")
+    )
+    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    return edges.join(
+        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
+    ).select(
+        "src",
+        "dst",
+        "cos",
+        "rank",
+        F.col("_rs").isNotNull().cast("int").alias("mutual"),
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -335,6 +427,49 @@ def _centroid_lit(cents: list[list[float]]) -> F.Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
 
+def _cell_of(vec, cents_col):
+    """Index (0-based) of the L2-nearest centroid in ``cents_col``."""
+    dists = F.transform(cents_col, lambda c: _l2sq(vec, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _ivf_codebook(
+    v: DataFrame, nlist: int, iters: int, id_col: str
+) -> list[list[float]]:
+    """Deterministic mini-k-means codebook over ``v`` (columns: id_col,
+    ``_v`` double[]): init = rows with smallest xxhash64(id), then
+    ``iters`` Lloyd steps as DataFrame aggregations.  Collects only
+    nlist × dim floats per step (KBs) — shared by ``ivf_topk`` and
+    ``knn_graph_blocked``.  Returns [] on an empty relation."""
+    seeds = [
+        list(r["_v"])
+        for r in v.select("_v", F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(nlist)
+        .collect()
+    ]
+    if not seeds:
+        return []
+    dim = len(seeds[0])
+    for _ in range(max(iters, 0)):
+        cents_col = _centroid_lit(seeds)
+        sums = (
+            v.withColumn("cell", _cell_of(F.col("_v"), cents_col))
+            .select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_seeds = [list(c) for c in seeds]  # empty cells keep their seed
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_seeds[cell] = [dims[i] for i in range(dim)]
+        seeds = new_seeds
+    return seeds
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -361,41 +496,13 @@ def ivf_topk(
     assignment and probing are pure column expressions, no MLlib, no UDF.
     """
     v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    seeds = [
-        list(r["_v"])
-        for r in v.select("_v", F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(nlist)
-        .collect()
-    ]
+    seeds = _ivf_codebook(v, nlist, iters, id_col)
     if not seeds:
         return brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
     nlist = len(seeds)
-    dim = len(seeds[0])
-
-    def cell_of(vec, cents_col):
-        dists = F.transform(cents_col, lambda c: _l2sq(vec, c))
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    for _ in range(max(iters, 0)):
-        cents_col = _centroid_lit(seeds)
-        sums = (
-            v.withColumn("cell", cell_of(F.col("_v"), cents_col))
-            .select("cell", F.posexplode("_v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new_seeds = [list(c) for c in seeds]  # empty cells keep their seed
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, dims in by_cell.items():
-            new_seeds[cell] = [dims[i] for i in range(dim)]
-        seeds = new_seeds
 
     cents_col = _centroid_lit(seeds)
-    assigned = v.withColumn("cell", cell_of(F.col("_v"), cents_col))
+    assigned = v.withColumn("cell", _cell_of(F.col("_v"), cents_col))
     # query → its nprobe nearest cells, exploded (queries are small)
     probe_cells = F.slice(
         F.transform(

@@ -84,6 +84,47 @@ def test_knn_graph_neighbors_and_mutual(spark):
     assert edges[(0, 1)]["rank"] == 1
 
 
+def test_knn_graph_blocked_exhaustive_equals_exact(spark):
+    """nprobe == nlist probes every cell, so the blocked plan must produce
+    the exact graph bit-for-bit."""
+    from shacl_validator_spark.operators.similarity import knn_graph_blocked
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(60)
+    )
+    exact = {tuple(r) for r in knn_graph(emb, k=3).collect()}
+    blocked = {
+        tuple(r)
+        for r in knn_graph_blocked(emb, k=3, nlist=4, nprobe=4, iters=1).collect()
+    }
+    assert blocked == exact
+
+
+def test_knn_graph_blocked_recall(spark):
+    """nprobe < nlist still recovers almost all true edges on clustered
+    data (cell-boundary misses only)."""
+    import math
+
+    from shacl_validator_spark.operators.similarity import knn_graph_blocked
+
+    # 4 tight angular clusters of 8 vectors each
+    vecs = []
+    for c in range(4):
+        for j in range(8):
+            a = math.radians(c * 90 + j)
+            vecs.append((c * 8 + j, [math.cos(a), math.sin(a)]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["src"], r["dst"]) for r in knn_graph(emb, k=3).collect()}
+    blocked = {
+        (r["src"], r["dst"])
+        for r in knn_graph_blocked(emb, k=3, nlist=4, nprobe=2, iters=2).collect()
+    }
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9
+
+
 def test_semantic_dedup_transitive_chain(spark):
     """A≈B and B≈C cluster together even though cos(A,C) < threshold —
     the closure is transitive, not pairwise."""
