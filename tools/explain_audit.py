@@ -132,6 +132,24 @@ def main() -> None:
         lambda t: "BatchEvalPython" not in t,
         "cluster consolidation stays JVM-side (exact collapse + LSH + CC)",
     )
+    audit(
+        "chunk_dedup",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "md5" in t,
+        "chunk dedup groups by md5(chunk) (16-byte keys), pure JVM",
+    )
+    audit(
+        "lm_logprob",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "BroadcastNestedLoopJoin" in t,
+        "LM scoring: one-row corpus total broadcast, pure JVM",
+    )
+    audit(
+        "knn_graph_ivf_exact",
+        lambda t: ("BroadcastHashJoin" in t or "SortMergeJoin" in t or "ShuffledHashJoin" in t)
+        and "CartesianProduct" not in t and "BatchEvalPython" not in t,
+        "blocked kNN graph: cell equi-join, never a cartesian product",
+    )
 
     n_fail = sum(1 for _, _, ok in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
