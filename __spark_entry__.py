@@ -839,6 +839,17 @@ def q_knn_graph_ivf_exact(spark, sf_dir):
     )
 
 
+def q_knn_arrow_topk(spark, sf_dir):
+    """BLAS/Arrow form of the kNN-graph kernel — rows-only (output proven
+    bit-identical to knn_graph in tests/test_corpus_ops3.py; registered
+    for the bench's JVM-expression vs vectorized-numpy comparison)."""
+    from shacl_validator_spark.operators.similarity import knn_topk_arrow
+
+    return knn_topk_arrow(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over embeddings ∪ an exact shifted copy of every vector:
     cross-vector cosines top out well below the 0.95 threshold (max ≈0.6
@@ -1359,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
         "knn_graph_ivf_exact": q_knn_graph_ivf_exact,
+        "knn_arrow_topk": q_knn_arrow_topk,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,

@@ -118,6 +118,7 @@ def run_bench(
         "language_id",
         "embedding_topk",
         "embedding_lsh_topk",
+        "knn_arrow_topk",
         "discovery_datasets",
         "extract_relations",
         "graph_pagerank",

@@ -125,6 +125,29 @@ def test_knn_graph_blocked_recall(spark):
     assert recall >= 0.9
 
 
+def test_knn_topk_arrow_equals_exact(spark):
+    """The BLAS kernel must reproduce the JVM-expression graph exactly
+    (same rounding contract, same tie-break)."""
+    from shacl_validator_spark.operators.similarity import knn_topk_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {tuple(r) for r in knn_graph(emb, k=4).collect()}
+    arrow = {tuple(r) for r in knn_topk_arrow(emb, k=4).collect()}
+    assert arrow == exact
+
+
+def test_knn_topk_arrow_block_gate(spark):
+    from shacl_validator_spark.operators.similarity import knn_topk_arrow
+
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_block"):
+        knn_topk_arrow(emb, k=2, max_block=5)
+
+
 def test_semantic_dedup_transitive_chain(spark):
     """A≈B and B≈C cluster together even though cos(A,C) < threshold —
     the closure is transitive, not pairwise."""
