@@ -34,6 +34,36 @@ def test_byte_identity(spark):
     assert mism.count() == 0
 
 
+def test_find_path_equals_regex_spec():
+    """_extract_text_bytes' find-based fast path must equal the _MAIN_RE
+    specification on every structural shape, including the degenerate
+    ones the template corpus never produces."""
+    import re as _re
+
+    from shacl_validator_spark.sources.extract import _MAIN_RE, _TAG_RE, _extract_text_bytes
+
+    def spec(html: bytes) -> str:
+        m = _MAIN_RE.search(html)
+        if m:
+            return m.group(1).decode("utf-8")
+        return _TAG_RE.sub(b" ", html).decode("utf-8", errors="replace").strip()
+
+    cases = [
+        b'<html><p id="main">hello world</p></html>',
+        b'<p id="main">a</p><p id="main">b</p>',          # two mains
+        b'<p id="main">never closed <b>bold</b',           # unclosed main
+        b"<html><body>no main at all</body></html>",       # fallback path
+        b'<div></p></div><p id="main">late open</p>',      # close before open
+        b'<p id="main"></p>',                               # empty span
+        b'<p id="main">x</p  >trail</p>',                   # weird spacing
+        b'pre<p id="main">multi\nline\ntext</p>post',       # DOTALL newlines
+        b"",                                                 # empty page
+        b'<p id="main">unclosed then <p id="main">second</p>',
+    ]
+    for html in cases:
+        assert _extract_text_bytes(html) == spec(html), html
+
+
 def test_byte_identity_documents_adapter(spark):
     pages = documents_as_pages(spark, "/root/testdata/sf0.001")
     mism = pages.withColumn("ext", extract_text(F.col("html"))).filter(
