@@ -1299,6 +1299,70 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+# Deterministic noisy-URL synthesis for the URL/host operators: page_num
+# collapses each (10m, 10m+1) doc pair onto one logical page, while the
+# crawl-noise axes (scheme/host case, default port, trailing slash,
+# utm parameter, fragment) vary by doc_id — so normalization MUST undo
+# every noise axis for the pair to collide.  Kept as portable SQL so the
+# DuckDB oracle can synthesize the identical column.
+_RAW_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HttpS://' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN upper('src' || CAST(_page_num % 20 AS STRING) || '.Example.COM')
+             ELSE 'src' || CAST(_page_num % 20 AS STRING) || '.Example.COM' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/docs/' || CAST(_page_num % 7 AS STRING) || '/page' || CAST(_page_num AS STRING)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 AND _page_num % 2 = 0
+             THEN '?utm_source=feed&b=2&a=1&id=' || CAST(_page_num AS STRING)
+             WHEN doc_id % 2 = 0 THEN '?utm_source=feed'
+             WHEN _page_num % 2 = 0 THEN '?b=2&a=1&id=' || CAST(_page_num AS STRING)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END)
+"""
+
+
+def _docs_urls(spark, sf_dir):
+    from shacl_validator_spark.operators.web import host_of, normalize_url
+
+    d = _docs(spark, sf_dir).select("doc_id").withColumn(
+        "_page_num",
+        F.col("doc_id") - F.when(F.col("doc_id") % 10 == 1, 1).otherwise(0),
+    )
+    d = d.withColumn("raw_url", F.expr(_RAW_URL_SQL)).drop("_page_num")
+    d = d.withColumn("norm_url", normalize_url(F.col("raw_url")))
+    return d.withColumn("host", host_of(F.col("norm_url")))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (operators/web.py): scheme/host lowercasing,
+    default-port and fragment stripping, tracking-param removal,
+    query-param sort, trailing-slash strip — pure column expressions,
+    narrow map, independently re-implemented by the DuckDB oracle."""
+    return _docs_urls(spark, sf_dir).select("doc_id", "raw_url", "norm_url", "host")
+
+
+def q_url_dedup(spark, sf_dir):
+    """C4-style URL dedup: one keeper (smallest doc_id) per canonical
+    URL — the synthesis guarantees each (10m, 10m+1) doc pair collides
+    after normalization, so the group count is corpus/10 below the doc
+    count.  One hash-groupBy with map-side combine."""
+    from shacl_validator_spark.operators.web import url_dedup
+
+    return url_dedup(_docs_urls(spark, sf_dir))
+
+
+def q_host_cap(spark, sf_dir):
+    """RefinedWeb-style per-host document cap (keep the 5 smallest
+    doc_ids per host) via the two-phase salted top-cap in
+    operators/web.py — output provably identical to the oracle's plain
+    per-host window."""
+    from shacl_validator_spark.operators.web import host_cap
+
+    d = _docs_urls(spark, sf_dir).select("doc_id", "host")
+    return host_cap(d, cap=5, n_salts=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "severity_summary": q_severity_summary,
@@ -1411,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "host_cap": q_host_cap,
     }
 
 
@@ -2970,6 +3037,75 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT doc, term, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """
+
+    # URL canonicalization + host shaping: the oracle re-implements BOTH
+    # the noisy synthesis and the full normalization independently in
+    # DuckDB SQL (list_filter/list_sort for the query-param pass).
+    _raw_url_duck = _RAW_URL_SQL.replace("AS STRING", "AS VARCHAR")
+    _URLS_CTE = f"""
+        WITH pg AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END AS _page_num
+          FROM documents
+        ),
+        raw AS (SELECT doc_id, {_raw_url_duck} AS raw_url FROM pg),
+        defrag AS (
+          SELECT doc_id, raw_url, split_part(trim(raw_url), '#', 1) AS u FROM raw
+        ),
+        parts AS (
+          SELECT doc_id, raw_url, u,
+                 regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1) AS head0
+          FROM defrag
+        ),
+        split2 AS (
+          SELECT doc_id, raw_url,
+                 regexp_replace(
+                   regexp_replace(lower(head0), '^(http://[^:/]+):80$', '\\1'),
+                   '^(https://[^:/]+):443$', '\\1') AS head,
+                 substr(u, length(head0) + 1) AS tail
+          FROM parts
+        ),
+        pq AS (
+          SELECT doc_id, raw_url, head,
+                 regexp_replace(split_part(tail, '?', 1), '/$', '') AS path,
+                 CASE WHEN strpos(tail, '?') > 0
+                      THEN substr(tail, strpos(tail, '?') + 1) ELSE '' END AS query
+          FROM split2
+        ),
+        norm AS (
+          SELECT doc_id, raw_url,
+                 head || path ||
+                 CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS norm_url
+          FROM (
+            SELECT doc_id, raw_url, head, path,
+                   COALESCE(array_to_string(
+                     list_sort(list_filter(string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+                     '&'), '') AS qs
+            FROM pq
+          )
+        ),
+        urls AS (
+          SELECT doc_id, raw_url, norm_url,
+                 regexp_extract(norm_url, '^[a-z][a-z0-9+.\\-]*://([^/:?@]+)', 1) AS host
+          FROM norm
+        )
+    """
+
+    sql["url_normalize"] = _URLS_CTE + """
+        SELECT doc_id, raw_url, norm_url, host FROM urls
+    """
+
+    sql["url_dedup"] = _URLS_CTE + """
+        SELECT norm_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM urls GROUP BY norm_url
+    """
+
+    sql["host_cap"] = _URLS_CTE + """
+        SELECT doc_id, host FROM urls
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) <= 5
     """
 
     # extract_relations / embedding_lsh_topk / simhash_sample / minhash
