@@ -171,3 +171,107 @@ def test_gate_literals_sound_and_output_invariant(spark):
     assert gated.exceptAll(ungated).count() == 0
     assert ungated.exceptAll(gated).count() == 0
     assert gated.count() > 0
+
+
+def _canon_raw(pdf):
+    return sorted(map(tuple, pdf.itertuples(index=False)))
+
+
+def test_literal_first_kernel_equals_spec_fixed_cases():
+    """_extract_batch (literal-first) must equal _extract_batch_spec
+    (per-row extractall, the specification) on the structural shapes that
+    exercise every branch of the finditer emulation: nested/failed infixes
+    and lazy-group backtracking, missing/late subjects, non-overlap cursor
+    advancement, NAME runs longer than the backward window, embedded NULs
+    (the joined-buffer separator), and missing terminators."""
+    import pandas as pd
+
+    from shacl_validator_spark.sources.extract import (
+        _extract_batch,
+        _extract_batch_spec,
+    )
+
+    cases = [
+        "Acme is located in Berlin. Acme publishes Data. Acme was founded in 1999.",
+        "Acme is located in B is located in C.",      # infix inside group2
+        "Acme is located in is located in X.",        # backtrack over failed infix
+        "x is located in Madrid.",                    # no uppercase subject
+        " is located in Madrid.",                     # no subject at all
+        "Acme was founded in 19999.",                 # 5 digits: forward fails
+        "Acme was founded in 1999.Acme is located in Paris.",  # adjacent matches
+        "A is located in B. C is located in D.",      # cursor advancement
+        "aAcme is located in Berlin.",                # subject starts mid-run
+        "9Acme is located in Berlin.",                # digit before uppercase
+        "Acme Corp - Ltd & Co is located in Berlin.", # full NAME class
+        "Acme is located in Berlin",                  # no closing dot
+        ". is located in .",                          # punctuation everywhere
+        "Z" * 600 + " is located in Berlin.",         # run > backward window
+        "z" + "Z" * 600 + " is located in Berlin.",   # widened window, mid-run start
+        "Acme\x00is located in Berlin.",              # NUL inside one text
+        "",                                           # empty text
+    ]
+    # single-row and all-rows-in-one-batch forms (the joined buffer must
+    # keep rows independent)
+    for t in cases:
+        pdf = pd.DataFrame({"url": ["u0"], "text": [t]})
+        assert _canon_raw(_extract_batch(pdf)) == _canon_raw(_extract_batch_spec(pdf)), t
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(len(cases))], "text": cases}
+    )
+    assert _canon_raw(_extract_batch(pdf)) == _canon_raw(_extract_batch_spec(pdf))
+
+
+def test_literal_first_kernel_equals_spec_property():
+    """Hypothesis differential: arbitrary texts over an adversarial
+    alphabet (relation literals, NAME-class chars, digits, terminators,
+    NULs) — the fast kernel must reproduce the extractall row set exactly."""
+    import os
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from shacl_validator_spark.sources.extract import (
+        _extract_batch,
+        _extract_batch_spec,
+    )
+
+    fragment = st.one_of(
+        st.sampled_from(
+            [
+                " is located in ",
+                " publishes ",
+                " was founded in ",
+                "Acme",
+                "Acme Corp",
+                "B",
+                "Z9&- ",
+                "1999",
+                "19",
+                ".",
+                ". ",
+                "x",
+                " ",
+                "\x00",
+                "\n",
+            ]
+        ),
+        st.text(alphabet="AZaz09&- .\x00", max_size=6),
+    )
+    texts = st.lists(
+        st.lists(fragment, max_size=12).map("".join), min_size=1, max_size=6
+    )
+
+    @given(texts=texts)
+    @settings(
+        max_examples=int(os.environ.get("PROP_EXAMPLES", "200")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(texts):
+        pdf = pd.DataFrame(
+            {"url": [f"u{i}" for i in range(len(texts))], "text": texts}
+        )
+        assert _canon_raw(_extract_batch(pdf)) == _canon_raw(_extract_batch_spec(pdf))
+
+    check()
