@@ -342,7 +342,21 @@ def run_pipeline(
         # can collapse two surface forms on one page into identical triples,
         # so MERGE-key uniqueness is only assertable HERE — this shuffle is
         # what lets merge_triples run assume_unique.
-        tail_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+        #
+        # Partition count must grow with DATA, not just cores: a fixed
+        # count made the dedup hash-agg hold millions of 7-string keys per
+        # task at 10^7-page groups and fall off a spill cliff (measured
+        # 55 s → 286 s for 2x the data on a 3 g executor).  The raw row
+        # count is a parquet-footer read of the just-materialized scratch
+        # table — cheap — and caps partitions at ~1M rows each; explicit
+        # repartition(n) is exempt from AQE coalescing, so the floor keeps
+        # small inputs at the core-proportional count they had before.
+        n_raw = raw.count()
+        tail_parts = max(
+            4,
+            spark.sparkContext.defaultParallelism // 4,
+            -(-n_raw // 1_000_000),
+        )
         typed_triples(raw, surface_map).unionByName(
             entity_triples(surface_map)
         ).repartition(tail_parts, *MERGE_KEY).dropDuplicates(MERGE_KEY).write.mode(

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only coalesce DOWN from the initial shuffle partition
+        # count — with the count pinned to cores, a column-repartition
+        # (e.g. the MERGE's partition_key clustering) cannot get more
+        # partitions as data grows and each task falls off a spill cliff.
+        # Start high and let AQE coalesce small jobs to a handful of
+        # partitions by advisory size; big shuffles keep the granularity.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
