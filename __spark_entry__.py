@@ -1001,6 +1001,71 @@ def q_pack_windows(spark, sf_dir):
     )
 
 
+def q_length_quantile_gate(spark, sf_dir):
+    """Per-language histogram-quantile gate (drop the bottom 20% by
+    n_chars within each language): per lang, the doc count, the integer
+    threshold the histogram picked, and how many docs clear it."""
+    from shacl_validator_spark.operators.quality import quantile_thresholds
+
+    d = _docs(spark, sf_dir)
+    thr = quantile_thresholds(d, "n_chars", 20, ["lang"], bin_width=64)
+    kept = (
+        d.join(F.broadcast(thr.select("lang", "threshold")), "lang")
+        .filter(F.col("n_chars") >= F.col("threshold"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return thr.join(kept, "lang").select(
+        "lang", "n_rows", "threshold", "kept"
+    )
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (32-word windows, stride 24): every chunk
+    with its index, word offsets, and an md5 over the chunk text so the
+    oracle pins the exact chunk contents."""
+    from shacl_validator_spark.operators.packing import chunk_sliding
+
+    c = chunk_sliding(
+        _docs(spark, sf_dir).select("doc_id", "text"), 32, 24
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        "n_words",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
+def q_embedding_hygiene(spark, sf_dir):
+    """Vector-hygiene gate over the embeddings table plus five synthetic
+    poison rows (null / wrong-dim / NaN / zero / exploded-norm): per flag,
+    the row count and the min/max rounded norm (order-independent float
+    aggregates, so the hash is partitioning-stable)."""
+    from shacl_validator_spark.operators.similarity import embedding_hygiene
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bad = spark.createDataFrame(
+        [
+            (10**9 + 1, None),
+            (10**9 + 2, [1.0, 2.0]),
+            (10**9 + 3, [float("nan")] + [0.5] * 63),
+            (10**9 + 4, [0.0] * 64),
+            (10**9 + 5, [1e20] * 64),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    h = embedding_hygiene(e.unionByName(bad), expect_dim=64)
+    return h.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("norm").alias("lo_norm"),
+        F.max("norm").alias("hi_norm"),
+    )
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON property pulled out of the raw
     event payload column, typed, and aggregated per event type."""
@@ -1446,6 +1511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "unicode_nfc": q_unicode_nfc,
         "pack_windows": q_pack_windows,
+        "length_quantile_gate": q_length_quantile_gate,
+        "chunk_windows": q_chunk_windows,
+        "embedding_hygiene": q_embedding_hygiene,
         "json_props_stats": q_json_props_stats,
         "token_stats": q_token_stats,
         "quality_by_lang": q_quality_by_lang,
@@ -2568,6 +2636,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(floor((s + greatest(n_tokens, 1) - 1) / 2048)) AS BIGINT)
                  AS max_window
         FROM p GROUP BY bucket
+    """
+
+    sql["length_quantile_gate"] = """
+        WITH h AS (
+          SELECT lang, greatest(n_chars, 0) // 64 AS bin, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT lang, bin,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                 SUM(c) OVER (PARTITION BY lang) AS n
+          FROM h
+        ),
+        thr AS (
+          SELECT lang, MIN(bin) AS thr_bin, MAX(n) AS n_rows
+          FROM cum WHERE cumc * 100 >= n * 20 GROUP BY lang
+        )
+        SELECT d.lang, CAST(t.n_rows AS BIGINT) AS n_rows,
+               CAST(t.thr_bin * 64 AS BIGINT) AS threshold,
+               CAST(SUM(CASE WHEN d.n_chars >= t.thr_bin * 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept
+        FROM documents d JOIN thr t USING (lang)
+        GROUP BY 1, 2, 3
+    """
+
+    sql["chunk_windows"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st
+          FROM w WHERE len(ws) > 0
+        )
+        SELECT doc_id,
+               CAST(st // 24 AS INTEGER) AS chunk_idx,
+               CAST(st AS INTEGER) AS start_word,
+               CAST(least(len(ws) - st, 32) AS INTEGER) AS n_words,
+               md5(array_to_string(list_slice(ws, st + 1, st + 32), ' '))
+                 AS chunk_md5
+        FROM s
+    """
+
+    sql["embedding_hygiene"] = """
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL SELECT 1000000001, NULL
+          UNION ALL SELECT 1000000002, [1.0, 2.0]
+          UNION ALL SELECT 1000000003,
+            list_prepend(CAST('nan' AS DOUBLE),
+                         list_transform(range(63), x -> CAST(CAST(0.5 AS FLOAT) AS DOUBLE)))
+          UNION ALL SELECT 1000000004,
+            list_transform(range(64), x -> CAST(0.0 AS DOUBLE))
+          UNION ALL SELECT 1000000005,
+            list_transform(range(64), x -> CAST(CAST(1e20 AS FLOAT) AS DOUBLE))
+        ),
+        g AS (
+          SELECT vec_id, v,
+                 CASE WHEN v IS NOT NULL THEN
+                   sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm,
+                 CASE WHEN v IS NOT NULL THEN
+                   len(list_filter(v, x -> isnan(x) OR abs(x) > 1e308)) > 0
+                 END AS nonfinite
+          FROM base
+        ),
+        f AS (
+          SELECT CASE
+                   WHEN v IS NULL THEN 'null_vec'
+                   WHEN len(v) <> 64 THEN 'bad_dim'
+                   WHEN nonfinite THEN 'non_finite'
+                   WHEN nrm < 1e-6 THEN 'zero_norm'
+                   WHEN nrm > 1e6 THEN 'big_norm'
+                   ELSE 'ok'
+                 END AS flag,
+                 CASE WHEN v IS NOT NULL AND NOT nonfinite
+                      THEN ROUND(nrm, 6) END AS norm
+          FROM g
+        )
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(norm) AS lo_norm, MAX(norm) AS hi_norm
+        FROM f GROUP BY flag
     """
 
     sql["json_props_stats"] = """

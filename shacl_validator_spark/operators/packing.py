@@ -70,3 +70,69 @@ def pack_windows(
             (start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / window_tokens
         ).alias("last_window"),
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    window_words: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunks of each document — the RAG /
+    long-context complement to ``pack_windows`` (that op concatenates and
+    cuts ACROSS documents; this one cuts WITHIN a document, preserving
+    overlap so no span is lost at a window boundary).
+
+    Words are non-empty whitespace splits of the trimmed text; windows
+    start at 0, stride, 2·stride, … strictly below the word count, each
+    covering ``window_words`` words (the final windows are naturally
+    shorter).  Output: ``(id, chunk_idx, start_word, n_words, chunk)``.
+    Empty documents emit no chunks.
+
+    Scale shape: a narrow map with a bounded explode — fan-out per row is
+    ceil(n_words / stride), no shuffle, composes with any downstream
+    embed/dedup stage.  The word array is bound once as a lambda variable
+    (single-element-array transform) so the tokenizer split is not re-run
+    per window by lambda inlining, the same Catalyst-CSE workaround as
+    ``quality.word_ngrams``.
+    """
+    if window_words <= 0 or stride <= 0:
+        raise ValueError(
+            f"window_words and stride must be positive, got {window_words}, {stride}"
+        )
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    chunks = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda ws: F.when(
+                F.size(ws) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 1, F.lit(stride)),
+                    lambda st: F.struct(
+                        st.alias("start_word"),
+                        F.least(F.size(ws) - st, F.lit(window_words)).alias(
+                            "n_words"
+                        ),
+                        F.concat_ws(" ", F.slice(ws, st + 1, window_words)).alias(
+                            "chunk"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<start_word:int,n_words:int,chunk:string>>"
+            )),
+        ),
+        1,
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.start_word").alias("start_word"),
+        F.col("_c.n_words").alias("n_words"),
+        F.col("_c.chunk").alias("chunk"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import TOKEN_PATTERN
 
@@ -299,3 +300,84 @@ def ngram_decontaminate(
         .drop("_did")
         .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
     )
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    p_pct: int,
+    strata: list[str],
+    bin_width: int = 64,
+) -> DataFrame:
+    """Per-stratum histogram-quantile thresholds over an integer signal.
+
+    Returns one row per stratum: ``n_rows``, ``thr_bin`` (the smallest
+    histogram bin whose cumulative count reaches ``ceil(p_pct% · n)``) and
+    ``threshold`` (that bin's lower edge, ``thr_bin · bin_width``).  A row
+    "passes the gate" iff ``value >= threshold``, so by construction at
+    least ``(100 - p_pct)%`` of each stratum passes — the standard
+    "drop the bottom p% by length/score within each language" corpus gate.
+
+    Design for 10^12 rows: EXACT quantiles (``F.percentile``) buffer every
+    value of a group in one aggregation state — a billion-document language
+    group would OOM the executor — and ``percentile_approx``'s
+    Greenwald-Khanna sketch is merge-order dependent, so its output is not
+    reproducible across partitionings (it would break both the oracle and
+    MERGE idempotence).  A fixed-width histogram sidesteps both: the only
+    corpus-wide pass is one hash aggregation on (stratum, bin) that
+    combines map-side to at most strata × bins rows, the cumulative-sum
+    window runs on that tiny relation, and every step is integer
+    arithmetic — bit-identical on any engine, any partitioning.  The
+    trade-off is threshold resolution = ``bin_width``, explicit and
+    caller-tunable.
+    """
+    if not 0 < p_pct < 100:
+        raise ValueError(f"p_pct must be in (0, 100), got {p_pct}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    hist = (
+        df.select(*strata, F.expr(f"greatest({value_col}, 0) div {bin_width}").alias("_bin"))
+        .groupBy(*strata, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *strata,
+        "_bin",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(*strata)).alias("n_rows"),
+    )
+    # target rank: ceil(p_pct · n / 100) in pure integer math
+    reached = cum.filter(F.col("_cum") * 100 >= F.col("n_rows") * p_pct)
+    return (
+        reached.groupBy(*strata)
+        .agg(F.min("_bin").alias("thr_bin"), F.max("n_rows").alias("n_rows"))
+        .select(
+            *strata,
+            "n_rows",
+            "thr_bin",
+            (F.col("thr_bin") * bin_width).alias("threshold"),
+        )
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    value_col: str,
+    p_pct: int,
+    strata: list[str],
+    bin_width: int = 64,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` clears their stratum's histogram-
+    quantile threshold (see ``quantile_thresholds``).  The threshold
+    relation is strata-sized, so the gate join broadcasts — the corpus
+    stream itself is filtered in place with no shuffle.
+    """
+    thr = quantile_thresholds(df, value_col, p_pct, strata, bin_width)
+    return df.join(
+        F.broadcast(thr.select(*strata, "threshold")), strata, "inner"
+    ).filter(F.col(value_col).cast("long") >= F.col("threshold"))

@@ -697,3 +697,54 @@ def quantize_embeddings(
         ),
     )
     return out.withColumn(q_col, q)
+
+
+def embedding_hygiene(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expect_dim: int | None = None,
+    min_norm: float = 1e-6,
+    max_norm: float = 1e6,
+) -> DataFrame:
+    """Vector-hygiene gate: classify every embedding before it enters the
+    ANN / dedup indexes.  Null vectors, wrong dimensionality, non-finite
+    elements (NaN/Inf), and degenerate norms (zero vectors break cosine;
+    exploded norms are upstream bugs) all poison an index silently —
+    production embedding pipelines gate on exactly these four checks.
+
+    Adds ``dim``, ``norm`` (double, NULL when unverifiable) and ``flag``:
+    'ok' | 'null_vec' | 'bad_dim' | 'non_finite' | 'zero_norm' |
+    'big_norm' (first failing check wins, in that order).  Callers filter
+    ``flag = 'ok'`` for the index build and aggregate the rest for the
+    drop report.
+
+    Pure column expressions — ``exists`` short-circuits the finite scan,
+    the norm is one sequential double fold (same accumulation order as the
+    DuckDB oracle) — so the gate is a narrow map fused into whatever scan
+    feeds it: no shuffle, no Python.
+    """
+    v = as_double(F.col(vec_col))
+    nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308)))
+    norm = _norm(v)
+    flag = (
+        F.when(F.col(vec_col).isNull(), F.lit("null_vec"))
+        .when(
+            F.lit(expect_dim is not None)
+            & (F.size(F.col(vec_col)) != F.lit(expect_dim or -1)),
+            F.lit("bad_dim"),
+        )
+        .when(nonfinite, F.lit("non_finite"))
+        .when(norm < min_norm, F.lit("zero_norm"))
+        .when(norm > max_norm, F.lit("big_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    safe_norm = F.when(
+        F.col(vec_col).isNotNull() & ~nonfinite, F.round(norm, 6)
+    )
+    return vectors.select(
+        "*",
+        F.size(F.col(vec_col)).alias("dim"),
+        safe_norm.alias("norm"),
+        flag.alias("flag"),
+    )

@@ -403,3 +403,29 @@ def test_quantize_embeddings_reconstruction_and_topk(spark):
         [(r["vec_id"], [x * r["q_scale"] for x in r["q_vec"]]) for r in q if r["vec_id"] != 999]
     )
     assert exact == quant
+
+
+def test_embedding_hygiene_flags(spark):
+    from shacl_validator_spark.operators.similarity import embedding_hygiene
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),          # ok, norm 5
+            (2, None),                # null_vec
+            (3, [1.0]),               # bad_dim
+            (4, [float("nan"), 1.0]), # non_finite
+            (5, [0.0, 0.0]),          # zero_norm
+            (6, [1e20, 1e20]),        # big_norm
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in embedding_hygiene(vecs, expect_dim=2).collect()}
+    assert rows[1]["flag"] == "ok" and abs(rows[1]["norm"] - 5.0) < 1e-9
+    assert rows[2]["flag"] == "null_vec" and rows[2]["norm"] is None
+    assert rows[3]["flag"] == "bad_dim"
+    assert rows[4]["flag"] == "non_finite" and rows[4]["norm"] is None
+    assert rows[5]["flag"] == "zero_norm"
+    assert rows[6]["flag"] == "big_norm"
+    # dim check disabled -> wrong-dim vector falls through to the norm path
+    no_dim = {r["vec_id"]: r for r in embedding_hygiene(vecs).collect()}
+    assert no_dim[3]["flag"] == "ok"

@@ -190,3 +190,43 @@ def test_vocab_top_k_order_ties_and_min_count(spark):
     assert {r["token"] for r in vocab_top_k(docs, k=10, min_count=2).collect()} == {
         "b", "a", "c'd"
     }
+
+
+def test_quantile_thresholds_exact_on_unit_bins(spark):
+    """bin_width=1 degrades to the exact integer quantile: threshold is the
+    smallest v with |{x <= v}| >= ceil(p% * n), and the gate keeps at least
+    (100-p)% of every stratum."""
+    from shacl_validator_spark.operators.quality import (
+        quantile_gate,
+        quantile_thresholds,
+    )
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", v * 10) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "lang string, v long")
+    thr = {
+        r["lang"]: r
+        for r in quantile_thresholds(df, "v", 25, ["lang"], bin_width=1).collect()
+    }
+    # stratum a: 1..100, ceil(25) = 25th value = 25
+    assert thr["a"]["threshold"] == 25 and thr["a"]["n_rows"] == 100
+    # stratum b: 10..100 step 10, ceil(2.5) = 3rd value = 30
+    assert thr["b"]["threshold"] == 30 and thr["b"]["n_rows"] == 10
+    kept = quantile_gate(df, "v", 25, ["lang"], bin_width=1)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 76  # 25..100 inclusive
+    assert counts["b"] == 8   # 30..100
+    for lang, n_total in (("a", 100), ("b", 10)):
+        assert counts[lang] >= 0.75 * n_total
+
+
+def test_quantile_thresholds_validates_params(spark):
+    from shacl_validator_spark.operators.quality import quantile_thresholds
+
+    df = spark.createDataFrame([("a", 1)], "lang string, v long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_thresholds(df, "v", 0, ["lang"])
+    with pytest.raises(ValueError):
+        quantile_thresholds(df, "v", 50, ["lang"], bin_width=0)
