@@ -357,6 +357,27 @@ def run_pipeline(
             spark.sparkContext.defaultParallelism // 4,
             -(-n_raw // 1_000_000),
         )
+        # AQE can only coalesce DOWN from the initial shuffle partition
+        # count, so the MERGE's column repartition (partition_key + salt
+        # clustering, merge.py) is granularity-capped by it: with the
+        # count pinned to cores, each clustering task falls off a spill
+        # cliff at 10^7-page groups (typed stage measured 96.9 → 42.5 s at
+        # 24M pages / 4 one-core executors with a 128-way start).  Raising
+        # it SESSION-WIDE is the wrong tool — a high start doubled the
+        # sf0.1 MinHash bench queries (2.9 s → 8.3 s, A/B'd) because AQE
+        # coalescing is not free at small scale — so it is set HERE,
+        # scoped to the pipeline tail and sized from the measured row
+        # count (~250k clustering rows per partition), and restored when
+        # the pipeline finishes.  Under parallel_groups, threads may race
+        # on this session-global conf; group sizes are uniform by
+        # construction, so racing writes land within one partition-count
+        # step of each other — benign.
+        _INIT_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        init_parts = max(
+            spark.sparkContext.defaultParallelism,
+            min(4096, -(-n_raw // 250_000)),
+        )
+        spark.conf.set(_INIT_KEY, str(init_parts))
         typed_triples(raw, surface_map).unionByName(
             entity_triples(surface_map)
         ).repartition(tail_parts, *MERGE_KEY).dropDuplicates(MERGE_KEY).write.mode(
@@ -463,13 +484,24 @@ def run_pipeline(
             totals["merged"] += merged
 
     todo = [g for g in range(n_groups) if f"grp={g}" not in done]
-    if parallel_groups <= 1:
-        for grp in todo:
-            _process_group(grp)
-    else:
-        with ThreadPoolExecutor(max_workers=parallel_groups) as pool:
-            for fut in [pool.submit(_process_group, g) for g in todo]:
-                fut.result()
+    # the per-group tail raises AQE's initialPartitionNum (data-sized, see
+    # _process_group); remember the caller's setting so the pipeline leaves
+    # the session exactly as it found it
+    _init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    _init_prev = spark.conf.get(_init_key, None)
+    try:
+        if parallel_groups <= 1:
+            for grp in todo:
+                _process_group(grp)
+        else:
+            with ThreadPoolExecutor(max_workers=parallel_groups) as pool:
+                for fut in [pool.submit(_process_group, g) for g in todo]:
+                    fut.result()
+    finally:
+        if _init_prev is None:
+            spark.conf.unset(_init_key)
+        else:
+            spark.conf.set(_init_key, _init_prev)
 
     if not ent_parts:
         entities = spark.createDataFrame(

@@ -40,13 +40,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE can only coalesce DOWN from the initial shuffle partition
-        # count — with the count pinned to cores, a column-repartition
-        # (e.g. the MERGE's partition_key clustering) cannot get more
-        # partitions as data grows and each task falls off a spill cliff.
-        # Start high and let AQE coalesce small jobs to a handful of
-        # partitions by advisory size; big shuffles keep the granularity.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+        # initialPartitionNum is deliberately NOT raised session-wide: AQE
+        # coalescing is not free at small scale (a 128-way start doubled
+        # the MinHash bench queries at sf0.1 — 2.9 s → 8.3 s, A/B'd), and
+        # the one workload that needs a data-proportional start — the KG
+        # pipeline's column repartitions (MERGE partition_key clustering)
+        # at 10^7+ pages — sets it itself, scoped and sized from the
+        # measured row count (plans/pipeline.py).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
