@@ -917,6 +917,85 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_top_k(_docs(spark, sf_dir), k=25)
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """BPE training iteration zero: adjacent character-pair counts over the
+    corpus word vocabulary, top 40 by (n desc, lhs, rhs) —
+    operators/quality.py bpe_pair_counts.  The corpus is touched once (the
+    word-count aggregation); pair explosion runs over VOCABULARY rows only,
+    so the audit costs the same at 10^6 and 10^12 documents."""
+    from shacl_validator_spark.operators.quality import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=40)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Sequential BPE training (12 merge rules) over the documents corpus —
+    operators/quality.py bpe_train: one corpus pass builds the vocabulary,
+    then every merge is two vocabulary-sized jobs (pair-stats argmax +
+    column-fold apply) with scratch-parquet lineage truncation.  SQL cannot
+    iterate, so this entry is rows-only; the merge-for-merge differential
+    against a pure-Python sequential reference is
+    tests/test_quality.py::test_bpe_train_differential_and_segment."""
+    from shacl_validator_spark.operators.quality import bpe_train
+
+    m = bpe_train(_docs(spark, sf_dir), 12)
+    return spark.createDataFrame(m, "rank int, lhs string, rhs string, n long")
+
+
+def _snapshot_docs(spark, sf_dir):
+    """The 'new crawl snapshot' fixture for incremental dedup: 100 exact
+    copies of reference docs, 100 tail-truncated near variants, 50 novel
+    documents — all derived deterministically from the documents table so
+    the DuckDB oracle can rebuild the identical snapshot."""
+    d = _docs(spark, sf_dir)
+    exact = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    trunc = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substr(text, 1, greatest(length(text) - 120, 60))").alias("text"),
+    )
+    novel = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("novel zebra "), F.col("doc_id").cast("string"),
+            F.lit(" quixotic "), (F.col("doc_id") * 7).cast("string"),
+            F.lit(" fjord "), (F.col("doc_id") * 13).cast("string"),
+        ).alias("text"),
+    )
+    return exact.unionByName(trunc).unionByName(novel)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-corpus) dedup — operators/dedup.py dedup_against:
+    label every snapshot doc 'exact' (normalized text already in the
+    reference corpus), 'near' (3-gram Jaccard >= 0.5 vs some reference doc)
+    or NULL (keep).  method='jaccard' is the deterministic posting-join
+    path the oracle reproduces; the banded-LSH scale path is the rows-only
+    twin below plus tests/test_corpus_ops3.py's subset/equality checks."""
+    from shacl_validator_spark.operators.dedup import dedup_against
+
+    return dedup_against(
+        _snapshot_docs(spark, sf_dir), _docs(spark, sf_dir),
+        method="jaccard", jaccard_threshold=0.5,
+    )
+
+
+def q_incremental_dedup_lsh(spark, sf_dir):
+    """The banded-MinHash scale path of incremental dedup (same contract as
+    q_incremental_dedup; candidates from the cross-corpus (band, band_hash)
+    equi-join instead of the exhaustive posting join).  Rows-only by design:
+    LSH recall is probabilistic, so hash-equality vs the exhaustive oracle
+    is not a sound contract — the subset relation is asserted in
+    tests/test_corpus_ops3.py::test_dedup_against_lsh_subset_of_jaccard."""
+    from shacl_validator_spark.operators.dedup import dedup_against
+
+    return dedup_against(
+        _snapshot_docs(spark, sf_dir), _docs(spark, sf_dir),
+        method="lsh", jaccard_threshold=0.5,
+    )
+
+
 def q_asof_view_click(spark, sf_dir):
     """As-of join (the operator Spark lacks natively, built as union +
     window carry-forward — operators/temporal.py): each click event gets
@@ -1546,6 +1625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "host_cap": q_host_cap,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "bpe_merges": q_bpe_merges,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_lsh": q_incremental_dedup_lsh,
     }
 
 
@@ -3260,7 +3343,77 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) <= 5
     """
 
+    sql["bpe_pair_stats"] = f"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS w
+          FROM documents
+        ),
+        vocab AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+        pairs AS (
+          SELECT unnest([{{'lhs': w[i:i], 'rhs': w[i+1:i+1]}}
+                         for i in generate_series(1, length(w)-1)]) AS p, n
+          FROM vocab
+        )
+        SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(n) AS BIGINT) AS n
+        FROM pairs GROUP BY p.lhs, p.rhs
+        ORDER BY n DESC, lhs, rhs LIMIT 40
+    """
+
+    _SNAPSHOT_SQL = """(
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 2000000, substr(text, 1, greatest(length(text) - 120, 60))
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+               'novel zebra ' || CAST(doc_id AS VARCHAR)
+               || ' quixotic ' || CAST(doc_id * 7 AS VARCHAR)
+               || ' fjord ' || CAST(doc_id * 13 AS VARCHAR)
+        FROM documents WHERE doc_id < 50
+    )"""
+    sql["incremental_dedup"] = f"""
+        WITH newdocs AS (SELECT * FROM {_SNAPSHOT_SQL} n),
+        refnorm AS (SELECT DISTINCT {_NORM_TEXT} AS nt FROM documents),
+        flagged AS (
+          SELECT n.doc_id, n.text,
+                 EXISTS (SELECT 1 FROM refnorm r
+                         WHERE r.nt = trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))) AS is_exact
+          FROM newdocs n
+        ),
+        shn AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                          for i in generate_series(1, len(tk)-2)])
+                      ELSE [array_to_string(tk, ' ')] END AS s
+          FROM (SELECT doc_id,
+                       regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                          {_TOKEN_RE_SQL}) AS tk
+                FROM flagged WHERE NOT is_exact)
+        ),
+        shr AS (
+          SELECT CASE WHEN len(tk) >= 3
+                      THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                          for i in generate_series(1, len(tk)-2)])
+                      ELSE [array_to_string(tk, ' ')] END AS s
+          FROM (SELECT regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                          {_TOKEN_RE_SQL}) AS tk
+                FROM documents)
+        ),
+        near AS (
+          SELECT DISTINCT a.doc_id
+          FROM shn a, shr b
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        )
+        SELECT f.doc_id,
+               CASE WHEN f.is_exact THEN 'exact'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near' END AS drop_reason
+        FROM flagged f LEFT JOIN near nr USING (doc_id)
+    """
+
     # extract_relations / embedding_lsh_topk / simhash_sample / minhash
-    # internals: no SQL equivalent (vectorized UDF or xxhash64-based) —
-    # rows-only checks; strong checks in tests/.
+    # internals / bpe_merges (iterative) / incremental_dedup_lsh
+    # (probabilistic recall): no sound SQL equivalent — rows-only checks;
+    # strong checks in tests/.
     return sql

@@ -93,6 +93,29 @@ def _minhash_agg(
     return ex.groupBy("_id").agg(*aggs, F.collect_set("h0").alias("hset"))
 
 
+def _banded_sigs(per_doc: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(_id, band, band_hash) from a ``_minhash_agg`` relation: each band's
+    hash is one xxhash64 over its ``num_perm // bands`` signature slots (the
+    band index is mixed in so identical slot values in different bands never
+    collide).  Shared by the self-join (``minhash_lsh_pairs``) and the
+    cross-corpus join (``dedup_against``) — both sides of an LSH join must
+    hash with the SAME family for collisions to mean anything."""
+    rows_per_band = num_perm // bands
+    sig = F.array(*[f"h{j}" for j in range(num_perm)])
+    return per_doc.select(
+        F.col("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -140,7 +163,6 @@ def minhash_lsh_pairs(
       full hash arrays through the verify join — same Jaccard, bounded row
       width (VERDICT r2 next-round #7).
     """
-    rows_per_band = num_perm // bands
     # signatures + hashed shingle sets from ONE tokenize pass, materialized
     # so banding and both verify sides read it instead of re-deriving the
     # corpus (at cluster scale this persist becomes a scratch table, the
@@ -151,19 +173,7 @@ def minhash_lsh_pairs(
     # entry persists per distinct (corpus, params) until
     # spark.catalog.clearCache() or session end.
     per_doc = _minhash_agg(docs, id_col, text_col, num_perm, shingle_n).persist()
-    sig = F.array(*[f"h{j}" for j in range(num_perm)])
-    banded = per_doc.select(
-        F.col("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
-                    b,
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded_sigs(per_doc, num_perm, bands)
     from .similarity import _drop_hot_buckets
 
     banded = _drop_hot_buckets(banded, ["band", "band_hash"], max_bucket)
@@ -497,4 +507,133 @@ def near_dup_clusters(
             F.size("members").cast("long").alias("n_members"),
             "members",
         )
+    )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "lsh",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup: label every ``new_docs`` row
+    against an existing reference corpus — the continuous-crawl ingestion
+    gate (each new CommonCrawl snapshot is deduplicated against the corpus
+    already ingested, never re-deduplicating the reference against itself).
+
+    Returns one row per new doc: ``(id_col, drop_reason)`` with
+    ``drop_reason`` ∈ {'exact', 'near', NULL}.  'exact' = the normalized
+    text (lowercase, whitespace-collapsed — the ``exact_duplicates``
+    contract) already exists in the reference; 'near' = not exact, but some
+    reference doc's ``shingle_n``-gram Jaccard ≥ ``jaccard_threshold``;
+    NULL = keep.  Near-dup checks run only on the non-exact remainder, so
+    the reasons are disjoint and priority-ordered.
+
+    ``method`` picks the candidate generator — the verified pairs (and so
+    the labels) are the same where both apply:
+    - 'exact':   hash anti-join only (no near stage);
+    - 'jaccard': inverted-index candidates (posting-list join on string
+      shingles) + exact Jaccard — deterministic and oracle-checkable, for
+      small/medium corpora (the ``ngram_jaccard_pairs`` scoping);
+    - 'lsh':     banded MinHash blocking (``_banded_sigs`` — the SAME hash
+      family on both sides) + exact Jaccard over hashed shingle sets — the
+      scale path; misses only pairs no band catches (recall
+      1-(1-j^r)^b, ~0.9998 at j=0.9 with 8 bands of 4).
+
+    Scale notes (10^12-doc reference, 10^9-doc snapshot):
+    - the exact stage reduces the reference to DISTINCT 8-byte hashes (one
+      map-side-combined aggregation, ~Zipf-compressed) and the new side
+      never shuffles — the semi-join broadcasts when the distinct-hash
+      relation fits, else AQE shuffles BOTH sides by hash (the new side is
+      the small one in steady state);
+    - in 'lsh' mode, reference signatures are the expensive side — compute
+      once per snapshot cycle and persist them as a table (the
+      ``_minhash_agg`` relation is plain columns, parquet-friendly); the
+      per-snapshot cost is then the NEW side's signatures plus a band
+      equi-join;
+    - Jaccard verification counts intersections via an exploded posting
+      join (map-side combine) — shingle arrays never ride a shuffle, so a
+      pathological 100 MB doc cannot skew the verify stage (the
+      ``minhash_lsh_pairs`` big-set routing, applied unconditionally here
+      since cross-corpus candidate counts are small relative to either
+      corpus);
+    - hot band buckets (boilerplate) are dropped by ``max_bucket`` on each
+      side independently, same trade as ``minhash_lsh_pairs``.
+    """
+    if method not in ("exact", "jaccard", "lsh"):
+        raise ValueError(f"method must be exact|jaccard|lsh, got {method!r}")
+
+    nh = F.xxhash64(_normalized(F.col(text_col)))
+    new_keyed = new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"), nh.alias("_nh"))
+    ref_hashes = ref_docs.select(nh.alias("_nh")).dropDuplicates()
+    flagged = new_keyed.join(
+        ref_hashes.withColumn("_exact", F.lit(True)), "_nh", "left"
+    ).select("_id", "_t", F.coalesce("_exact", F.lit(False)).alias("_exact"))
+
+    near_ids = None
+    if method != "exact":
+        survivors = flagged.filter(~F.col("_exact")).select("_id", "_t")
+        if method == "jaccard":
+            # string shingles end-to-end so a SQL oracle can reproduce the
+            # numbers byte-for-byte (hashing changes nothing but the label);
+            # the posting join IS the candidate generator — pairs sharing no
+            # shingle have Jaccard 0 and need no row at all
+            sh_new = survivors.select("_id", shingles(F.col("_t"), shingle_n).alias("sh"))
+            sh_ref = ref_docs.select(
+                F.col(id_col).alias("_rid"), shingles(F.col(text_col), shingle_n).alias("sh")
+            )
+            sizes_new = sh_new.select("_id", F.size("sh").alias("_sa"))
+            sizes_ref = sh_ref.select("_rid", F.size("sh").alias("_sb"))
+            inter = (
+                sh_new.select("_id", F.explode("sh").alias("g"))
+                .join(sh_ref.select("_rid", F.explode("sh").alias("g")), "g")
+                .groupBy("_id", "_rid")
+                .agg(F.count(F.lit(1)).alias("_i"))
+            )
+        else:  # lsh
+            per_new = _minhash_agg(survivors, "_id", "_t", num_perm, shingle_n).persist()
+            per_ref = _minhash_agg(ref_docs, id_col, text_col, num_perm, shingle_n).persist()
+            from .similarity import _drop_hot_buckets
+
+            b_new = _drop_hot_buckets(
+                _banded_sigs(per_new, num_perm, bands), ["band", "band_hash"], max_bucket
+            )
+            b_ref = _drop_hot_buckets(
+                _banded_sigs(per_ref, num_perm, bands), ["band", "band_hash"], max_bucket
+            ).withColumnRenamed("_id", "_rid")
+            cand = (
+                b_new.join(b_ref, ["band", "band_hash"]).select("_id", "_rid").dropDuplicates()
+            )
+            sizes_new = per_new.select("_id", F.size("hset").alias("_sa"))
+            sizes_ref = per_ref.select(F.col("_id").alias("_rid"), F.size("hset").alias("_sb"))
+            inter = (
+                cand.join(per_new.select("_id", F.explode("hset").alias("g")), "_id")
+                .join(per_ref.select(F.col("_id").alias("_rid"), F.explode("hset").alias("g")), ["_rid", "g"])
+                .groupBy("_id", "_rid")
+                .agg(F.count(F.lit(1)).alias("_i"))
+            )
+        near_ids = (
+            inter.join(sizes_new, "_id")
+            .join(sizes_ref, "_rid")
+            .filter(F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")) >= jaccard_threshold)
+            .select("_id")
+            .dropDuplicates()
+        )
+
+    out = flagged.select("_id", "_exact")
+    if near_ids is not None:
+        out = out.join(near_ids.withColumn("_near", F.lit(True)), "_id", "left")
+    else:
+        out = out.withColumn("_near", F.lit(None).cast("boolean"))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_exact"), F.lit("exact"))
+        .when(F.col("_near"), F.lit("near"))
+        .alias("drop_reason"),
     )

@@ -381,3 +381,175 @@ def quantile_gate(
     return df.join(
         F.broadcast(thr.select(*strata, "threshold")), strata, "inner"
     ).filter(F.col(value_col).cast("long") >= F.col("threshold"))
+
+
+# --- distributed BPE tokenizer training -------------------------------------
+#
+# The counting side of byte-pair-encoding training is a textbook Spark
+# workload: ONE corpus-sized pass builds the word vocabulary (map-side
+# combined, Zipf-compressed), and every merge iteration after that touches
+# only the VOCABULARY table — web-scale corpora train tokenizers over
+# billions of pages but only ~10^7 distinct words.  The merge rule itself
+# (replace the highest-count adjacent symbol pair) is a pure column fold,
+# so no Python ever sees a symbol sequence.
+
+
+def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) — ``TOKEN_PATTERN`` matches over lowercased text, the same
+    token contract as ``vocab_top_k`` / ``functions.text.token_count``."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _char_symbols(word) -> F.Column:
+    """Initial BPE symbol sequence: the word's characters (tokens are ASCII
+    by the ``TOKEN_PATTERN`` contract, so character == byte semantics)."""
+    return F.when(
+        F.length(word) > 0,
+        F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _pair_stats(vocab_syms: DataFrame) -> DataFrame:
+    """(lhs, rhs, n) adjacent-symbol pair counts over a (syms, n) vocabulary
+    — every adjacent occurrence counts (``aaa`` contributes (a,a) twice),
+    weighted by the word count: the Sennrich ``get_stats`` contract."""
+    return (
+        vocab_syms.filter(F.size("syms") >= 2)
+        .select(
+            F.col("n").alias("_n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("lhs"),
+                        F.element_at(F.col("syms"), i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .groupBy(F.col("_p.lhs").alias("lhs"), F.col("_p.rhs").alias("rhs"))
+        .agg(F.sum("_n").alias("n"))
+    )
+
+
+def _merge_fold(syms, lhs: str, rhs: str) -> F.Column:
+    """Apply ONE merge rule to a symbol array: left-to-right, non-
+    overlapping (after ``aa`` merges in ``aaa``, the third ``a`` starts
+    fresh) — exactly the reference BPE merge semantics, as an array fold
+    with no Python."""
+    merged = F.lit(lhs + rhs)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Adjacent character-pair statistics of the corpus vocabulary —
+    iteration zero of BPE training, and a corpus-audit signal in its own
+    right (dominant bigrams expose boilerplate and encoding damage).
+
+    Output ``(lhs, rhs, n)``; with ``k``, the top-k by (n desc, lhs, rhs) —
+    a TakeOrderedAndProject, never a global sort.
+
+    Scale notes (100 TB): the only corpus-sized pass is the word-count
+    aggregation (map-side combined; the shuffle carries one row per
+    distinct word per task).  Pair extraction explodes VOCABULARY rows —
+    ~10^7 at web scale — so its cost is independent of corpus size.
+    """
+    vocab = _word_vocab(docs, text_col).select(
+        _char_symbols(F.col("word")).alias("syms"), "n"
+    )
+    stats = _pair_stats(vocab)
+    if k is not None:
+        stats = stats.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(k)
+    return stats
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    scratch_dir: str | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Train ``num_merges`` BPE merge rules on the corpus; returns
+    ``[(rank, lhs, rhs, pair_count), ...]`` in merge order.  Semantics are
+    the exact sequential Sennrich algorithm (recount after every merge;
+    ties broken deterministically by (count desc, lhs asc, rhs asc) so the
+    result is engine-reproducible — reference trainers break ties by dict
+    order, which is not).
+
+    Scale shape: the corpus is touched ONCE (``_word_vocab``); every
+    iteration after that runs two vocabulary-sized jobs — a pair-stats
+    aggregation whose argmax is a ``limit(1)`` TakeOrdered (one row to the
+    driver), and a column-fold merge apply.  The vocabulary is
+    re-materialized to scratch parquet each iteration, keeping plan depth
+    and lineage O(1) across iterations instead of stacking ``num_merges``
+    folds into one plan (the same truncation discipline as the pipeline's
+    scratch tables).  Production trainers run ~30k merges; at that scale
+    batch top-B non-interacting merges per iteration — a standard
+    approximation this operator deliberately does NOT apply, so its output
+    is the exact-algorithm reference a batched trainer can be validated
+    against.
+    """
+    import shutil
+    import tempfile
+
+    spark = docs.sparkSession
+    own_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="bpe_train_")
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        vocab = _word_vocab(docs, text_col).select(
+            _char_symbols(F.col("word")).alias("syms"), "n"
+        )
+        vocab.write.mode("overwrite").parquet(f"{scratch}/it0")
+        vocab = spark.read.parquet(f"{scratch}/it0")
+        for rank in range(1, num_merges + 1):
+            top = (
+                _pair_stats(vocab)
+                .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n"])
+            merges.append((rank, lhs, rhs, n))
+            vocab = vocab.select(_merge_fold(F.col("syms"), lhs, rhs).alias("syms"), "n")
+            vocab.write.mode("overwrite").parquet(f"{scratch}/it{rank % 2}")
+            vocab = spark.read.parquet(f"{scratch}/it{rank % 2}")
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return merges
+
+
+def bpe_segment(word, merges: list[tuple[str, str]]) -> F.Column:
+    """Segment a word column with a learned merge list: character symbols,
+    then each merge applied in rank order — the APPLY side of ``bpe_train``
+    (chained folds, one per merge; no Python).  For tokenizing a corpus
+    with a large merge table, apply to the DISTINCT word relation and join
+    back — the same vocabulary-not-corpus cost argument as training."""
+    syms = _char_symbols(word)
+    for lhs, rhs in merges:
+        syms = _merge_fold(syms, lhs, rhs)
+    return syms

@@ -180,3 +180,104 @@ def test_knn_graph_rank_bound_and_degree(spark):
 
     deg = Counter(r["src"] for r in rows)
     assert all(v == 3 for v in deg.values()) and len(deg) == 6
+
+
+# --- cross-corpus (incremental) dedup ----------------------------------------
+
+
+def _snapshot_fixture(spark):
+    """Reference corpus + a 'new snapshot' holding exact copies, near
+    variants, and novel documents — every expected label is derivable by
+    hand."""
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "pack my box with five dozen liquor jugs for the annual county fair"),
+            (3, "how vexingly quick daft zebras jump across the frozen tundra plains"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact after normalization (case + whitespace)
+            (101, "The  QUICK brown fox jumps over the lazy dog near the river bank"),
+            # near: one word appended to ref 2
+            (102, "pack my box with five dozen liquor jugs for the annual county fair today"),
+            # novel
+            (103, "completely unrelated sentence about spark catalyst optimizer internals"),
+            # near of ref 3: truncated tail
+            (104, "how vexingly quick daft zebras jump across the frozen"),
+        ],
+        "doc_id long, text string",
+    )
+    return ref, new
+
+
+def test_dedup_against_labels_all_methods(spark):
+    from shacl_validator_spark.operators.dedup import dedup_against
+
+    ref, new = _snapshot_fixture(spark)
+    want = {101: "exact", 102: "near", 103: None, 104: "near"}
+    for method in ("jaccard", "lsh"):
+        got = {
+            r["doc_id"]: r["drop_reason"]
+            for r in dedup_against(new, ref, method=method, jaccard_threshold=0.5).collect()
+        }
+        assert got == want, method
+    got_exact = {
+        r["doc_id"]: r["drop_reason"]
+        for r in dedup_against(new, ref, method="exact").collect()
+    }
+    assert got_exact == {101: "exact", 102: None, 103: None, 104: None}
+
+
+def test_dedup_against_lsh_subset_of_jaccard(spark):
+    """LSH labels are a subset of the exhaustive-candidate labels: every
+    'near' the banded path finds, the posting path finds too (LSH can only
+    MISS candidates, never invent them), and 'exact' labels agree always."""
+    from shacl_validator_spark.operators.dedup import dedup_against
+
+    # 30 docs: 10 bases, 10 light edits, 10 novel
+    base = [
+        f"document number {i} talks about topic {i % 3} in several plain words "
+        f"plus shared boilerplate header text" for i in range(10)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    new_rows = (
+        [(100 + i, t + " appended tail") for i, t in enumerate(base)]
+        + [(200 + i, f"novel text {i} with fully distinct vocabulary item{i} thing{i} widget{i}")
+           for i in range(10)]
+    )
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    jac = {
+        r["doc_id"]: r["drop_reason"]
+        for r in dedup_against(new, ref, method="jaccard", jaccard_threshold=0.5).collect()
+    }
+    lsh = {
+        r["doc_id"]: r["drop_reason"]
+        for r in dedup_against(new, ref, method="lsh", jaccard_threshold=0.5).collect()
+    }
+    assert set(jac) == set(lsh) == {r[0] for r in new_rows}
+    for k, v in lsh.items():
+        if v == "exact":
+            assert jac[k] == "exact"
+        elif v == "near":
+            assert jac[k] == "near"  # lsh near ⊆ jaccard near
+    # and on this fixture recall is actually total
+    assert lsh == jac
+
+
+def test_dedup_against_empty_sides(spark):
+    from shacl_validator_spark.operators.dedup import dedup_against
+
+    ref, new = _snapshot_fixture(spark)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # empty snapshot -> empty result
+    assert dedup_against(empty, ref, method="lsh").count() == 0
+    # empty reference -> everything kept
+    got = {
+        r["doc_id"]: r["drop_reason"]
+        for r in dedup_against(new, empty, method="jaccard").collect()
+    }
+    assert got == {101: None, 102: None, 103: None, 104: None}

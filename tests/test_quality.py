@@ -230,3 +230,115 @@ def test_quantile_thresholds_validates_params(spark):
         quantile_thresholds(df, "v", 0, ["lang"])
     with pytest.raises(ValueError):
         quantile_thresholds(df, "v", 50, ["lang"], bin_width=0)
+
+
+# --- BPE training ------------------------------------------------------------
+
+_BPE_TEXTS = [
+    "the cat sat on the mat",
+    "the cat sat",
+    "aaa abab banana bandana",
+    "low lower lowest newer newest",   # the classic Sennrich example shape
+    "it's the cat's mat",              # apostrophe tokens
+    "Mixed CASE case MIXED 123 12 3",  # folding + digit tokens
+]
+
+
+def _ref_bpe(texts, num_merges):
+    """Pure-Python sequential BPE with the operator's tie-break —
+    the independent reference for the differential assertions."""
+    import collections
+    import re
+
+    from shacl_validator_spark.functions.text import TOKEN_PATTERN
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.findall(TOKEN_PATTERN, t.lower()):
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        stats = collections.Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += c
+        if not stats:
+            break
+        (l, r), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, n))
+        for w, s in syms.items():
+            ns = []
+            for x in s:
+                if ns and ns[-1] == l and x == r:
+                    ns[-1] = l + r
+                else:
+                    ns.append(x)
+            syms[w] = ns
+    return merges, syms
+
+
+def test_bpe_pair_counts_match_reference(spark):
+    from shacl_validator_spark.operators.quality import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)], "doc_id long, text string"
+    )
+    got = {(r["lhs"], r["rhs"]): r["n"] for r in bpe_pair_counts(docs).collect()}
+    merges, _ = _ref_bpe(_BPE_TEXTS, 0)
+    import collections
+    import re
+
+    from shacl_validator_spark.functions.text import TOKEN_PATTERN
+
+    vocab = collections.Counter()
+    for t in _BPE_TEXTS:
+        for w in re.findall(TOKEN_PATTERN, t.lower()):
+            vocab[w] += 1
+    want = collections.Counter()
+    for w, c in vocab.items():
+        for i in range(len(w) - 1):
+            want[(w[i], w[i + 1])] += c
+    assert got == dict(want)
+
+
+def test_bpe_train_differential_and_segment(spark):
+    """bpe_train matches the sequential reference merge-for-merge
+    (including counts), and bpe_segment reproduces the reference's final
+    symbol sequences when applying those merges."""
+    from shacl_validator_spark.operators.quality import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, 10)
+    want, ref_syms = _ref_bpe(_BPE_TEXTS, 10)
+    assert got == want
+
+    words = sorted(ref_syms)
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    seg = {
+        r["word"]: r["s"]
+        for r in wdf.select(
+            "word", bpe_segment(F.col("word"), [(l, r) for _, l, r, _ in got]).alias("s")
+        ).collect()
+    }
+    assert seg == ref_syms
+
+
+def test_bpe_train_exhausts_and_overlap_semantics(spark):
+    """Merges stop when every word is one symbol; overlapping pairs merge
+    left-to-right non-overlapping ('aaaa' + (a,a) -> [aa, aa])."""
+    from shacl_validator_spark.operators.quality import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    merges = bpe_train(docs, 50)  # far more than possible merges
+    want, ref_syms = _ref_bpe(["aaaa aaaa"], 50)
+    assert merges == want
+    assert len(merges) < 50  # exhausted, loop broke early
+    seg = (
+        docs.select(bpe_segment(F.lit("aaa"), [(l, r) for _, l, r, _ in merges[:1]]).alias("s"))
+        .first()["s"]
+    )
+    assert seg == ["aa", "a"]
