@@ -122,6 +122,8 @@ def run_bench(
         "discovery_datasets",
         "extract_relations",
         "graph_pagerank",
+        "bpe_pair_stats",
+        "incremental_dedup",
     ]
     if pipeline_only:
         headline = []

@@ -150,6 +150,18 @@ def main() -> None:
         and "CartesianProduct" not in t and "BatchEvalPython" not in t,
         "blocked kNN graph: cell equi-join, never a cartesian product",
     )
+    audit(
+        "bpe_pair_stats",
+        lambda t: "TakeOrderedAndProject" in t and "partial_sum" in t
+        and "BatchEvalPython" not in t and "ArrowEvalPython" not in t,
+        "BPE pair stats: map-side partial agg + TakeOrdered top-K, no Python",
+    )
+    audit(
+        "incremental_dedup",
+        lambda t: "CartesianProduct" not in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "cross-corpus dedup: equi-joins only, never a cartesian product, no Python",
+    )
 
     n_fail = sum(1 for _, _, ok in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
