@@ -100,6 +100,37 @@ def test_merge_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(table).count() == 2
 
 
+def test_iceberg_merge_sql_contract():
+    """The cluster-path MERGE statement carries the full 7-column key with
+    null-safe equality and is insert-only — the same contract the parquet
+    emulation implements (replays insert nothing)."""
+    from shacl_validator_spark.plans.merge import MERGE_KEY, iceberg_merge_sql
+
+    sql = iceberg_merge_sql("cat.kg.triples", "batch_v")
+    assert sql.startswith("MERGE INTO cat.kg.triples t USING batch_v s ON ")
+    for c in MERGE_KEY:
+        assert f"t.{c} <=> s.{c}" in sql  # null-safe: datatype/lang are NULL for IRIs
+    assert sql.endswith("WHEN NOT MATCHED THEN INSERT *")
+    assert "WHEN MATCHED" not in sql  # insert-only ⇒ idempotent replay
+
+
+def test_iceberg_merge_requires_catalog(spark):
+    """Without Iceberg jars the cluster path refuses cleanly (callers fall
+    back to merge_triples) and leaves no temp view behind."""
+    import pytest
+
+    from shacl_validator_spark.plans.merge import merge_triples_iceberg
+
+    batch = triples_from_turtle(
+        spark,
+        "@prefix ex: <http://example.org/> . ex:a ex:p ex:b .",
+        graph="g1",
+    )
+    with pytest.raises(RuntimeError, match="row-level-operation catalog"):
+        merge_triples_iceberg(spark, "nonexistent.db.triples", batch)
+    assert "_merge_batch_src" not in [v.name for v in spark.catalog.listTables()]
+
+
 def test_report_round_trip(spark):
     """S8 writer ↔ S11 parser round-trip preserves every result field
     (reference ReportViewer.tsx:64-78 ↔ SHACLValidationService.ts:426-555)."""
