@@ -908,6 +908,20 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (hashed-n-gram importance weights): every
+    document scored by the log ratio of its unigram+bigram hashed-feature
+    likelihood under the English subset (the 'target' corpus) vs the whole
+    corpus (the 'raw' distribution) — operators/sampling.py dsir_weights.
+    Two map-side-combined bucket fits (≤256 rows each) + one broadcast of
+    the 256-row log-ratio relation; the only corpus-sized shuffle is the
+    per-doc bucket-count aggregation."""
+    from shacl_validator_spark.operators.sampling import dsir_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=256)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Tokenizer-vocabulary counting pass: corpus-wide token frequencies,
     top 25 by (count desc, token asc) — operators/quality.py vocab_top_k.
@@ -1584,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
+        "dsir_weights": q_dsir_weights,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
@@ -2616,6 +2631,51 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
               < CAST(0.25 * 4294967296 AS UBIGINT)
         GROUP BY lang
+    """
+
+    # DSIR: same tokenizer, same md5-prefix bucket hash, same add-1
+    # smoothed ln-ratio — DuckDB rebuilds the two distribution fits and the
+    # per-doc score end-to-end (bigrams via a 1-based list_transform over
+    # adjacent token pairs).
+    sql["dsir_weights"] = f"""
+        WITH g AS (
+          SELECT doc_id, lang, unnest(gs) AS g
+          FROM (
+            SELECT doc_id, lang,
+                   list_concat(
+                     w,
+                     list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                   ) AS gs
+            FROM (SELECT doc_id, lang,
+                         regexp_extract_all(lower(text), {_TOKEN_RE_SQL}) AS w
+                  FROM documents)
+          )
+        ),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 256
+                      AS BIGINT) AS b
+          FROM g
+        ),
+        spine AS (SELECT CAST(range AS BIGINT) AS b FROM range(256)),
+        tc AS (SELECT b, COUNT(*) AS tc FROM f WHERE lang = 'en' GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS rc FROM f GROUP BY b),
+        tab AS (
+          SELECT spine.b, COALESCE(tc.tc, 0) AS tc, COALESCE(rc.rc, 0) AS rc
+          FROM spine LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        ),
+        tot AS (SELECT SUM(tc) AS t_tot, SUM(rc) AS r_tot FROM tab),
+        lr AS (
+          SELECT b, ln((tc + 1.0) / (t_tot + 256.0))
+                    - ln((rc + 1.0) / (r_tot + 256.0)) AS lr
+          FROM tab, tot
+        ),
+        pd AS (SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY doc_id, b)
+        SELECT pd.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               ROUND(SUM(c * lr), 6) AS log_weight
+        FROM pd JOIN lr USING (b)
+        GROUP BY pd.doc_id
     """
 
     sql["mix_weights"] = """

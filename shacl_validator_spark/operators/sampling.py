@@ -114,3 +114,116 @@ def stratified_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed n-gram feature stream: one row per unigram/bigram occurrence,
+    reduced to a bucket id in ``[0, n_buckets)`` via the first 8 hex chars
+    of md5 (the same engine-portable hash family as ``hash_sample``).
+
+    This is the feature map of DSIR-style importance resampling (Xie et
+    al. 2023, public): hashed bag-of-n-grams is the representation both
+    the target and raw distributions are fitted on.  Output:
+    ``(id_col, _b)`` — exploded, NOT aggregated, so callers choose the
+    aggregation key (corpus-level bucket counts vs per-doc counts).
+
+    Scale notes (100 TB): a narrow map + explode (no shuffle here); the
+    gram arrays are built once per row (``word_ngrams`` binds the token
+    array as a lambda variable, so the tokenizer regex runs once even
+    though two gram lengths consume it).
+    """
+    from .quality import word_ngrams
+
+    grams = F.concat(
+        word_ngrams(F.col(text_col), 1), word_ngrams(F.col(text_col), 2)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("bigint")
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, bucket.alias("_b"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights: score every raw document by how much more
+    likely its hashed-n-gram features are under the TARGET corpus's
+    unigram bucket distribution than under the raw corpus's own.
+
+    For bucket ``b`` with add-``smoothing`` estimates
+    ``p(b) = (t_b + s) / (T + s·B)`` (target) and
+    ``q(b) = (r_b + s) / (R + s·B)`` (raw), a document with per-bucket
+    counts ``c_b`` gets ``log_weight = Σ_b c_b · (ln p(b) − ln q(b))`` —
+    the log importance ratio DSIR resamples by.  Output:
+    ``(id_col, n_feats, log_weight)``, one row per raw document with at
+    least one feature; ``log_weight`` is rounded to 6 decimals so the
+    value is comparable across engines regardless of summation order
+    (the ``unigram_logprob`` contract).
+
+    Selection composes with the existing primitives: rank by
+    ``log_weight`` (tie-break md5(id)) and keep the top fraction, or add
+    Gumbel noise upstream if the caller wants DSIR's sampled variant.
+
+    Scale notes (100 TB): the two distribution fits aggregate the feature
+    streams BY BUCKET — map-side combine collapses each task's grams to
+    ≤ B rows, so the shuffles carry O(tasks·B), never O(corpus).  The
+    bucket/ratio relations are B rows (a few thousand) → explicit
+    broadcast; the only corpus-sized shuffle is the per-doc bucket-count
+    aggregation (one row per distinct (doc, bucket) after map-side
+    combine, ≤ B per doc).  The target corpus is typically a small
+    curated set — its scan is cheap; the raw corpus is scanned twice
+    (fit + score), which a caller can share via a materialized feature
+    table when scoring multiple targets.  No Python anywhere.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = docs.sparkSession
+    raw_feats = hashed_gram_buckets(docs, id_col, text_col, n_buckets)
+    tgt_feats = hashed_gram_buckets(target, id_col, text_col, n_buckets)
+    raw_b = raw_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt_b = tgt_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    spine = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("_b"))
+    table = (
+        spine.join(tgt_b, "_b", "left")
+        .join(raw_b, "_b", "left")
+        .select(
+            "_b",
+            F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+            F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+        )
+    )
+    totals = table.select(F.sum("_tc").alias("_T"), F.sum("_rc").alias("_R"))
+    s = float(smoothing)
+    ratio = (
+        table.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_tc") + s) / (F.col("_T") + s * n_buckets))
+                - F.log((F.col("_rc") + s) / (F.col("_R") + s * n_buckets))
+            ).alias("_lr"),
+        )
+    )
+    per_doc = raw_feats.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_doc.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")), 6).alias("log_weight"),
+        )
+    )

@@ -76,3 +76,93 @@ def test_mix_weights_math_cap_and_absent_group(spark):
 
     with _pt.raises(ValueError):
         mix_weights(df, "src", {})
+
+
+def _py_dsir(raw, tgt, n_buckets, smoothing=1.0):
+    """Pure-Python DSIR reference over (id, text) tuples."""
+    import hashlib
+    import math
+    import re
+
+    pat = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")
+
+    def grams(text):
+        toks = pat.findall(text.lower())
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    tc = [0] * n_buckets
+    rc = [0] * n_buckets
+    for _, text in tgt:
+        for g in grams(text):
+            tc[bucket(g)] += 1
+    for _, text in raw:
+        for g in grams(text):
+            rc[bucket(g)] += 1
+    T, R = sum(tc), sum(rc)
+    s = smoothing
+    lr = [
+        math.log((tc[b] + s) / (T + s * n_buckets))
+        - math.log((rc[b] + s) / (R + s * n_buckets))
+        for b in range(n_buckets)
+    ]
+    out = {}
+    for did, text in raw:
+        gs = grams(text)
+        if gs:
+            out[did] = (len(gs), round(sum(lr[bucket(g)] for g in gs), 6))
+    return out
+
+
+def test_dsir_weights_differential(spark):
+    from shacl_validator_spark.operators.sampling import dsir_weights
+
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices rose sharply today"),
+        (3, "the dog sat on the log"),
+        (4, "buy cheap pills online now cheap pills"),
+        (5, ""),  # zero-feature doc: must be absent from the output
+        (6, "the cat and the dog sat"),
+    ]
+    tgt = [
+        (101, "the cat sat quietly"),
+        (102, "a dog sat on a mat"),
+    ]
+    n_buckets = 64
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_weights(raw_df, tgt_df, n_buckets=n_buckets).collect()
+    }
+    want = _py_dsir(raw, tgt, n_buckets)
+    assert set(got) == set(want)  # doc 5 absent from both
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6), did
+    # documents that look like the target score higher than off-target ones
+    assert got[1][1] > got[2][1]
+    assert got[3][1] > got[4][1]
+
+
+def test_dsir_weights_target_shift_moves_scores(spark):
+    """Re-fitting with a different target must re-rank: the finance doc
+    wins under a finance target corpus."""
+    from shacl_validator_spark.operators.sampling import dsir_weights
+
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices rose sharply today"),
+    ]
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    fin = spark.createDataFrame(
+        [(201, "stock prices and market indexes rose")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(raw_df, fin, n_buckets=64).collect()
+    }
+    assert got[2] > got[1]
