@@ -922,6 +922,24 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=256)
 
 
+def q_temperature_weights(spark, sf_dir):
+    """XLM-R-style temperature sampling (τ=2): per-language resampling
+    weights that flatten the natural language mix toward uniform —
+    operators/sampling.py temperature_weights.  Same one-tiny-agg plan
+    shape as mix_weights; floats rounded so the DuckDB oracle compares
+    exactly."""
+    from shacl_validator_spark.operators.sampling import temperature_weights
+
+    w = temperature_weights(_docs(spark, sf_dir).select("doc_id", "lang"), "lang", tau=2.0)
+    return w.select(
+        "lang",
+        "n_rows",
+        F.round("natural_frac", 6).alias("natural_frac"),
+        F.round("sampled_frac", 6).alias("sampled_frac"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Tokenizer-vocabulary counting pass: corpus-wide token frequencies,
     top 25 by (count desc, token asc) — operators/quality.py vocab_top_k.
@@ -1599,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
         "dsir_weights": q_dsir_weights,
+        "temperature_weights": q_temperature_weights,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
@@ -2676,6 +2695,20 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    sql["temperature_weights"] = """
+        WITH per AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS nat
+          FROM documents GROUP BY lang
+        ),
+        z AS (SELECT SUM(POW(nat, 0.5)) AS ps FROM per)
+        SELECT lang, n_rows,
+               ROUND(nat, 6) AS natural_frac,
+               ROUND(POW(nat, 0.5) / ps, 6) AS sampled_frac,
+               ROUND(POW(nat, 0.5) / ps / nat, 6) AS weight
+        FROM per, z
     """
 
     sql["mix_weights"] = """

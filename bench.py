@@ -124,6 +124,7 @@ def run_bench(
         "graph_pagerank",
         "bpe_pair_stats",
         "incremental_dedup",
+        "dsir_weights",
     ]
     if pipeline_only:
         headline = []

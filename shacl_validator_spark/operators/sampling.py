@@ -227,3 +227,44 @@ def dsir_weights(
             F.round(F.sum(F.col("_c") * F.col("_lr")), 6).alias("log_weight"),
         )
     )
+
+
+def temperature_weights(df: DataFrame, group_col: str, tau: float) -> DataFrame:
+    """Temperature-based mix flattening (the multilingual-sampling rule of
+    XLM-R / mT5, public): instead of an explicit target mix, resample
+    group g from natural share ``p_g`` to ``q_g = p_g^(1/τ) / Σ p_j^(1/τ)``
+    — τ = 1 keeps the natural mix, τ → ∞ approaches uniform, so rare
+    languages/domains are upsampled smoothly without hand-written targets.
+
+    Output: ``(group_col, n_rows, natural_frac, sampled_frac, weight)``
+    where ``weight = q_g / p_g`` is the per-row expected-repetition factor
+    (composes with ``hash_sample``/repetition exactly like ``mix_weights``;
+    fractions are full-precision doubles — callers round at the edge).
+
+    Same plan shape as ``mix_weights``: ONE aggregation keyed by
+    ``group_col`` (map-side combined, group cardinality is tiny), the two
+    scalar totals broadcast back via crossJoin — no unpartitioned window,
+    no driver collect.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    inv = 1.0 / float(tau)
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(F.sum("n_rows").alias("_tot"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        (F.col("n_rows") / F.col("_tot")).alias("natural_frac"),
+    )
+    powsum = base.agg(F.sum(F.pow("natural_frac", F.lit(inv))).alias("_ps"))
+    return base.crossJoin(F.broadcast(powsum)).select(
+        group_col,
+        "n_rows",
+        "natural_frac",
+        (F.pow("natural_frac", F.lit(inv)) / F.col("_ps")).alias("sampled_frac"),
+        (
+            F.pow("natural_frac", F.lit(inv))
+            / F.col("_ps")
+            / F.col("natural_frac")
+        ).alias("weight"),
+    )

@@ -166,3 +166,32 @@ def test_dsir_weights_target_shift_moves_scores(spark):
         for r in dsir_weights(raw_df, fin, n_buckets=64).collect()
     }
     assert got[2] > got[1]
+
+
+def test_temperature_weights_math_and_limits(spark):
+    from shacl_validator_spark.operators.sampling import temperature_weights
+
+    # 3 groups with shares 0.6 / 0.3 / 0.1
+    rows = [("en",)] * 60 + [("es",)] * 30 + [("sw",)] * 10
+    df = spark.createDataFrame(rows, ["lang"])
+    got = {r["lang"]: r for r in temperature_weights(df, "lang", tau=2.0).collect()}
+    import math
+
+    ps = [0.6, 0.3, 0.1]
+    z = sum(p ** 0.5 for p in ps)
+    for lang, p in zip(["en", "es", "sw"], ps):
+        q = p ** 0.5 / z
+        assert got[lang]["natural_frac"] == pytest.approx(p)
+        assert got[lang]["sampled_frac"] == pytest.approx(q)
+        assert got[lang]["weight"] == pytest.approx(q / p)
+    # rare group upsampled, dominant group downsampled
+    assert got["sw"]["weight"] > 1.0 > got["en"]["weight"]
+    # tau = 1 keeps the natural mix exactly (all weights 1)
+    for r in temperature_weights(df, "lang", tau=1.0).collect():
+        assert r["weight"] == pytest.approx(1.0)
+        assert r["sampled_frac"] == pytest.approx(r["natural_frac"])
+    # expected corpus size is preserved: Σ n_g · w_g = N
+    tot = sum(got[l]["n_rows"] * got[l]["weight"] for l in got)
+    assert tot == pytest.approx(100.0)
+    with pytest.raises(ValueError):
+        temperature_weights(df, "lang", tau=0.0)
