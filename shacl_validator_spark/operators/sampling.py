@@ -185,16 +185,22 @@ def dsir_weights(
     broadcast; the only corpus-sized shuffle is the per-doc bucket-count
     aggregation (one row per distinct (doc, bucket) after map-side
     combine, ≤ B per doc).  The target corpus is typically a small
-    curated set — its scan is cheap; the raw corpus is scanned twice
-    (fit + score), which a caller can share via a materialized feature
-    table when scoring multiple targets.  No Python anywhere.
+    curated set — its scan is cheap; the raw corpus is tokenized ONCE:
+    the raw fit folds out of the per-doc counts instead of re-running
+    the feature map, and the per-doc exchange is reused between its two
+    consumers.  No Python anywhere.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     spark = docs.sparkSession
     raw_feats = hashed_gram_buckets(docs, id_col, text_col, n_buckets)
     tgt_feats = hashed_gram_buckets(target, id_col, text_col, n_buckets)
-    raw_b = raw_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    # the raw corpus feeds BOTH the distribution fit and the per-doc score:
+    # fold the fit out of the per-doc counts instead of re-running the
+    # tokenize+md5 map over the whole corpus a second time (per_doc is the
+    # only corpus-sized shuffle either way; its exchange is reused)
+    per_doc = raw_feats.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    raw_b = per_doc.groupBy("_b").agg(F.sum("_c").alias("_rc"))
     tgt_b = tgt_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
     spine = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("_b"))
     table = (
@@ -218,7 +224,6 @@ def dsir_weights(
             ).alias("_lr"),
         )
     )
-    per_doc = raw_feats.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
     return (
         per_doc.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
