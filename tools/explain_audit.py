@@ -163,6 +163,20 @@ def main() -> None:
         "cross-corpus dedup: equi-joins only, never a cartesian product, no Python",
     )
 
+    audit(
+        "dsir_weights",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "CartesianProduct" not in t
+        and ("BroadcastHashJoin" in t or "BroadcastExchange" in t),
+        "DSIR: ratio relation broadcast onto per-doc counts, pure JVM",
+    )
+    audit(
+        "temperature_weights",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "Window" not in t,
+        "temperature mix: tiny-agg + broadcast scalars, no unpartitioned window",
+    )
+
     n_fail = sum(1 for _, _, ok in checks if not ok)
     print(f"\n{len(checks) - n_fail}/{len(checks)} plan checks passed; plans in BENCH/plans/")
     raise SystemExit(1 if n_fail else 0)
