@@ -922,6 +922,16 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=256)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard delivery manifest: deterministic md5 shard
+    assignment (8 shards) + per-shard doc/token/byte counts and the
+    order-insensitive content-XOR checksum — sources/shards.py
+    shard_manifest.  One map-side-combined aggregation keyed by shard."""
+    from shacl_validator_spark.sources.shards import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir).select("doc_id", "text"), 8)
+
+
 def q_temperature_weights(spark, sf_dir):
     """XLM-R-style temperature sampling (τ=2): per-language resampling
     weights that flatten the natural language mix toward uniform —
@@ -1618,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "dsir_weights": q_dsir_weights,
         "temperature_weights": q_temperature_weights,
+        "shard_manifest": q_shard_manifest,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
@@ -2695,6 +2706,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    sql["shard_manifest"] = f"""
+        WITH s AS (
+          SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS UBIGINT) % 8 AS INT) AS shard,
+                 text
+          FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL})))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+               CAST(BIT_XOR(CAST(CAST('0x' || substr(md5(text), 1, 15)
+                                      AS UBIGINT) AS BIGINT)) AS BIGINT)
+                   AS content_xor
+        FROM s GROUP BY shard
     """
 
     sql["temperature_weights"] = """
