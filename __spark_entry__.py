@@ -922,6 +922,31 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=256)
 
 
+# the pinned tokenizer artifact applied by bpe_encode / its oracle — a
+# fixed English-bigram merge table incl. a rank-dependent chain (th+e)
+_PIN_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Corpus tokenization with a PINNED BPE merge table (the production
+    tokenizer-as-artifact shape): segmentation on the distinct-word
+    relation, one doc-keyed reassembly shuffle — operators/quality.py
+    bpe_encode.  Output is per-doc piece count + an md5 over the
+    order-preserved piece sequence, so the oracle checks byte-exact
+    segmentation AND reassembly order."""
+    from shacl_validator_spark.operators.quality import bpe_encode
+
+    enc = bpe_encode(_docs(spark, sf_dir).select("doc_id", "text"), _PIN_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_hash"),
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Training-shard delivery manifest: deterministic md5 shard
     assignment (8 shards) + per-shard doc/token/byte counts and the
@@ -1629,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "temperature_weights": q_temperature_weights,
         "shard_manifest": q_shard_manifest,
+        "bpe_encode": q_bpe_encode,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
@@ -2706,6 +2732,38 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    # bpe_encode: the greedy non-overlapping merge fold is reproduced with
+    # sentinel-wrapped symbols (chr(31) sym chr(30)) + left-to-right
+    # replace() — one unrolled replace per pinned merge, so partial-symbol
+    # matches are impossible and replace's scan order IS the fold order
+    _seg = (
+        "chr(31) || array_to_string(regexp_extract_all(w, '.'),"
+        " chr(30) || chr(31)) || chr(30)"
+    )
+    for _l, _r in _PIN_MERGES:
+        _seg = (
+            f"replace({_seg}, chr(31)||'{_l}'||chr(30)||chr(31)||'{_r}'||chr(30),"
+            f" chr(31)||'{_l}{_r}'||chr(30))"
+        )
+    _seg = f"replace(trim({_seg}, chr(31)||chr(30)), chr(30)||chr(31), ' ')"
+    sql["bpe_encode"] = f"""
+        WITH enc AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(
+                     regexp_extract_all(lower(text), {_TOKEN_RE_SQL}),
+                     w -> {_seg}),
+                   ' ') AS pieces_str
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN pieces_str = '' THEN 0
+                         ELSE len(string_split(pieces_str, ' ')) END
+                    AS INT) AS n_pieces,
+               md5(pieces_str) AS pieces_hash
+        FROM enc
     """
 
     sql["shard_manifest"] = f"""

@@ -553,3 +553,63 @@ def bpe_segment(word, merges: list[tuple[str, str]]) -> F.Column:
     for lhs, rhs in merges:
         syms = _merge_fold(syms, lhs, rhs)
     return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a PINNED merge list — the production shape
+    of tokenization, where the tokenizer is a versioned artifact trained
+    once (``bpe_train``) and applied to every snapshot thereafter.
+
+    Output: ``(id_col, pieces)`` where ``pieces`` is the doc's BPE symbol
+    sequence in text order (empty array for token-less docs).
+
+    Scale notes (100 TB): segmentation runs on the DISTINCT word relation
+    (vocabulary-sized — the same cost argument as ``bpe_train``), then
+    joins back onto the (doc, position, word) stream; reassembly is ONE
+    doc-keyed shuffle (collect_list of (position, pieces) structs,
+    array_sort on the struct's leading field, flatten — the
+    ``chunk_dedup`` reassembly pattern).  The merge list compiles to
+    ``len(merges)`` chained array folds, so plan depth grows linearly:
+    fine for the few-hundred-merge domain tokenizers tested here; a
+    32k-merge production vocabulary should materialize the word→pieces
+    relation iteratively in batches of merges (the ``bpe_train`` scratch
+    pattern) instead of one expression tree.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("_p", "_w"),
+    )
+    seg = (
+        toks.select("_w")
+        .distinct()
+        .select("_w", bpe_segment(F.col("_w"), merges).alias("_pieces"))
+    )
+    per = (
+        toks.join(seg, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_pieces"))),
+                    lambda s: s["_pieces"],
+                )
+            ).alias("pieces")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
+        )
+    )

@@ -342,3 +342,41 @@ def test_bpe_train_exhausts_and_overlap_semantics(spark):
         .first()["s"]
     )
     assert seg == ["aa", "a"]
+
+
+def _py_bpe_encode(text, merges):
+    import re
+
+    toks = re.findall(r"[A-Za-z0-9]+(?:'[a-z]+)?", text.lower())
+    out = []
+    for w in toks:
+        syms = list(w)
+        for l, r in merges:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            syms = acc
+        out += syms
+    return out
+
+
+def test_bpe_encode_differential(spark):
+    from shacl_validator_spark.operators.quality import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "r")]
+    docs = [
+        (1, "the weather there"),
+        (2, "aaa aaaa baaab"),  # odd-run greedy non-overlap cases
+        (3, "Thermal THEORY the"),  # case folding
+        (4, ""),  # token-less doc keeps an empty pieces row
+        (5, "ether other bother"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    for did, text in docs:
+        assert got[did] == _py_bpe_encode(text, merges), did
+    # rank order matters: ("th","e") must see the output of ("t","h")
+    assert "the" in got[1]
