@@ -102,3 +102,38 @@ def F_coalesce_text(df):
     from pyspark.sql import functions as F
 
     return F.coalesce(df["text"], F.lit("")).alias("text")
+
+
+def test_build_corpus_cli_smoke(tmp_path):
+    """The end-to-end corpus CLI delivers a verifiable shard set at
+    sf0.001: summary JSON parses, manifest totals agree with the summary,
+    and the delivery is deterministic (same manifest on a re-run)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out1, out2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    summaries = []
+    for out in (out1, out2):
+        proc = subprocess.run(
+            [
+                _sys.executable,
+                os.path.join(repo, "tools", "build_corpus.py"),
+                "/root/testdata/sf0.001",
+                out,
+                "--cpus",
+                "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summaries.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    s1, s2 = summaries
+    assert s1 == {**s2, "out_dir": s1["out_dir"]}  # identical modulo path
+    assert 0 < s1["delivered_docs"] <= s1["input_docs"]
+    m1 = [json.loads(l) for l in open(os.path.join(out1, "_manifest.json"))]
+    m2 = [json.loads(l) for l in open(os.path.join(out2, "_manifest.json"))]
+    assert [r.get("content_xor") for r in m1] == [r.get("content_xor") for r in m2]
+    assert m1[0]["total_docs"] == s1["delivered_docs"]
