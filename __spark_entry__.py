@@ -947,6 +947,57 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_markdown_preprocess(spark, sf_dir):
+    """F9 (ValidationResults.tsx:131-149): message markdown preprocessing —
+    tables pass through, pipe-less text passes through, otherwise pipes
+    become bullets and URLs become links.  Messages are synthesized
+    deterministically from the documents table so all three branches are
+    exercised; pure column expressions, narrow map."""
+    from shacl_validator_spark.functions.text import preprocess_markdown
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang").filter(F.col("doc_id") < 60)
+    msg = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Value error on "),
+                F.col("lang"),
+                F.lit(" | see <https://datos.gob.es/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("> | retry"),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("plain note "), F.col("lang")))
+        .otherwise(
+            F.concat(
+                F.lit("| a | b |\n|---|---|\n| "),
+                F.col("lang"),
+                F.lit(" | "),
+                F.col("doc_id").cast("string"),
+                F.lit(" |"),
+            )
+        )
+    )
+    return d.select("doc_id", preprocess_markdown(msg).alias("processed"))
+
+
+def q_file_size_report(spark, sf_dir):
+    """F14 (ValidatorInput.tsx:192-202): human file-size formatting + the
+    reference's 0.4 min/MB validation-time estimate, over each document's
+    byte count — engine-exact via floor(v*10+0.5) half-up arithmetic."""
+    from shacl_validator_spark.functions.text import (
+        estimate_validation_minutes,
+        format_file_size,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return d.select(
+        "doc_id",
+        format_file_size(F.col("n_chars")).alias("size_str"),
+        estimate_validation_minutes(F.col("n_chars") * 1024).alias("est_minutes"),
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Training-shard delivery manifest: deterministic md5 shard
     assignment (8 shards) + per-shard doc/token/byte counts and the
@@ -1655,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "shard_manifest": q_shard_manifest,
         "bpe_encode": q_bpe_encode,
+        "markdown_preprocess": q_markdown_preprocess,
+        "file_size_report": q_file_size_report,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
         "asof_view_click": q_asof_view_click,
@@ -2732,6 +2785,57 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    sql["markdown_preprocess"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN
+                     'Value error on ' || lang
+                     || ' | see <https://datos.gob.es/doc/'
+                     || CAST(doc_id AS VARCHAR) || '> | retry'
+                   WHEN doc_id % 3 = 1 THEN 'plain note ' || lang
+                   ELSE '| a | b |' || chr(10) || '|---|---|' || chr(10)
+                        || '| ' || lang || ' | ' || CAST(doc_id AS VARCHAR)
+                        || ' |'
+                 END AS msg
+          FROM documents WHERE doc_id < 60
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN regexp_matches(msg,
+                      '^\\s*\\|?.+\\|.+\\n\\s*\\|?\\s*[-:\\s|]+\\|')
+                   THEN msg
+                 WHEN NOT contains(msg, '|') THEN msg
+                 ELSE regexp_replace(
+                        regexp_replace(msg, '\\s*\\|\\s*',
+                                       chr(10) || '- ', 'g'),
+                        '(?i)<?(https?://[^\\s<>)]+)>?', '[\\1](\\1)', 'g')
+               END AS processed
+        FROM m
+    """
+
+    sql["file_size_report"] = """
+        SELECT doc_id,
+               CASE
+                 WHEN n_chars < 1024 THEN CAST(n_chars AS VARCHAR) || ' B'
+                 WHEN n_chars < 1048576 THEN
+                   CAST(CAST(FLOOR(n_chars * 10.0 / 1024.0 + 0.5) AS BIGINT)
+                        // 10 AS VARCHAR)
+                   || '.' ||
+                   CAST(CAST(FLOOR(n_chars * 10.0 / 1024.0 + 0.5) AS BIGINT)
+                        % 10 AS VARCHAR) || ' KB'
+                 ELSE
+                   CAST(CAST(FLOOR(n_chars * 10.0 / 1048576.0 + 0.5) AS BIGINT)
+                        // 10 AS VARCHAR)
+                   || '.' ||
+                   CAST(CAST(FLOOR(n_chars * 10.0 / 1048576.0 + 0.5) AS BIGINT)
+                        % 10 AS VARCHAR) || ' MB'
+               END AS size_str,
+               GREATEST(1, CAST(CEIL(n_chars * 1024 / 1048576.0 * 0.4)
+                                AS BIGINT)) AS est_minutes
+        FROM documents
     """
 
     # bpe_encode: the greedy non-overlapping merge fold is reproduced with

@@ -138,3 +138,61 @@ def doc_fingerprint(text: Column) -> Column:
     xxhash64 of the whitespace-normalized, lowercased text."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.xxhash64(normalized)
+
+
+def preprocess_markdown(text: Column) -> Column:
+    """F9 — the reference's message-markdown preprocessing
+    (ValidationResults.tsx:131-149) as one column expression:
+
+    - markdown TABLES pass through untouched (first line contains
+      ``|...|`` and the second line is a separator row),
+    - text without pipe separators passes through,
+    - otherwise pipes become ``\\n- `` bullets and bare/angle-bracketed
+      URLs are wrapped as ``[url](url)`` links.
+
+    Dialect note: the reference's JS regexes use constructs shared by
+    Java (Spark) and RE2 (DuckDB) — no lookaround, no JS-specific
+    classes — so the same patterns run verbatim in both engines.
+    """
+    is_table = text.rlike(r"^\s*\|?.+\|.+\n\s*\|?\s*[-:\s|]+\|")
+    has_pipe = text.contains("|")
+    bulleted = F.regexp_replace(text, r"\s*\|\s*", "\n- ")
+    linked = F.regexp_replace(
+        bulleted, r"(?i)<?(https?://[^\s<>)]+)>?", r"[$1]($1)"
+    )
+    return F.when(is_table | ~has_pipe, text).otherwise(linked)
+
+
+def _one_decimal(v: Column) -> Column:
+    """Format ``v`` with exactly one decimal, rounding half AWAY FROM ZERO
+    for positives via ``floor(v·10 + 0.5)`` — the arithmetic JS
+    ``toFixed(1)`` applies, spelled so Spark and DuckDB agree bit-for-bit
+    (both evaluate the same exact double ops; no engine rounding mode is
+    involved)."""
+    scaled = F.floor(v * 10.0 + 0.5).cast("long")
+    return F.concat(
+        (scaled / 10).cast("long").cast("string"),
+        F.lit("."),
+        (scaled % 10).cast("string"),
+    )
+
+
+def format_file_size(n_bytes: Column) -> Column:
+    """F14 — ValidatorInput.tsx:192-196: ``N B`` under 1 KiB, one-decimal
+    ``KB`` under 1 MiB, else one-decimal ``MB``."""
+    b = n_bytes.cast("double")
+    return (
+        F.when(b < 1024, F.concat(n_bytes.cast("long").cast("string"), F.lit(" B")))
+        .when(b < 1024 * 1024, F.concat(_one_decimal(b / 1024.0), F.lit(" KB")))
+        .otherwise(F.concat(_one_decimal(b / (1024.0 * 1024.0)), F.lit(" MB")))
+    )
+
+
+def estimate_validation_minutes(
+    n_bytes: Column, minutes_per_mb: float = 0.4
+) -> Column:
+    """F14 — ValidatorInput.tsx:198-202: ``max(1, ceil(MB · rate))``, the
+    reference's 0.4 min/MB single-thread estimate (the baseline figure the
+    bench is compared against)."""
+    mb = n_bytes.cast("double") / (1024.0 * 1024.0)
+    return F.greatest(F.lit(1).cast("long"), F.ceil(mb * minutes_per_mb))
