@@ -560,6 +560,8 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_size: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a PINNED merge list — the production shape
     of tokenization, where the tokenizer is a versioned artifact trained
@@ -573,12 +575,19 @@ def bpe_encode(
     joins back onto the (doc, position, word) stream; reassembly is ONE
     doc-keyed shuffle (collect_list of (position, pieces) structs,
     array_sort on the struct's leading field, flatten — the
-    ``chunk_dedup`` reassembly pattern).  The merge list compiles to
-    ``len(merges)`` chained array folds, so plan depth grows linearly:
-    fine for the few-hundred-merge domain tokenizers tested here; a
-    32k-merge production vocabulary should materialize the word→pieces
-    relation iteratively in batches of merges (the ``bpe_train`` scratch
-    pattern) instead of one expression tree.
+    ``chunk_dedup`` reassembly pattern).
+
+    Plan depth: the merge list compiles to ``len(merges)`` chained array
+    folds — fine for few-hundred-merge domain tokenizers, but a 32k-merge
+    production vocabulary must not stack into one expression tree.
+    ``batch_size`` applies the folds in batches over the distinct-word
+    relation, re-materializing it to scratch parquet between batches (the
+    ``bpe_train`` alternating-scratch pattern) so plan depth stays
+    O(batch_size) regardless of vocabulary size; output is provably
+    identical — the fold chain is associative in application order, only
+    where the plan is truncated changes.  The scratch outlives this call
+    (the returned DataFrame reads from it); an own-tempdir is cleaned at
+    process exit.
     """
     toks = docs.select(
         F.col(id_col),
@@ -588,11 +597,29 @@ def bpe_encode(
             )
         ).alias("_p", "_w"),
     )
-    seg = (
-        toks.select("_w")
-        .distinct()
-        .select("_w", bpe_segment(F.col("_w"), merges).alias("_pieces"))
-    )
+    words = toks.select("_w").distinct()
+    if batch_size is None or len(merges) <= batch_size:
+        seg = words.select("_w", bpe_segment(F.col("_w"), merges).alias("_pieces"))
+    else:
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        import atexit
+        import shutil
+        import tempfile
+
+        spark = docs.sparkSession
+        if scratch_dir is None:
+            scratch_dir = tempfile.mkdtemp(prefix="bpe_encode_")
+            atexit.register(shutil.rmtree, scratch_dir, ignore_errors=True)
+        seg = words.select("_w", _char_symbols(F.col("_w")).alias("_pieces"))
+        for step, i in enumerate(range(0, len(merges), batch_size)):
+            syms = F.col("_pieces")
+            for lhs, rhs in merges[i : i + batch_size]:
+                syms = _merge_fold(syms, lhs, rhs)
+            seg = seg.select("_w", syms.alias("_pieces"))
+            path = f"{scratch_dir}/seg{step % 2}"
+            seg.write.mode("overwrite").parquet(path)
+            seg = spark.read.parquet(path)
     per = (
         toks.join(seg, "_w")
         .groupBy(id_col)

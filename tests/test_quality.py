@@ -380,3 +380,32 @@ def test_bpe_encode_differential(spark):
         assert got[did] == _py_bpe_encode(text, merges), did
     # rank order matters: ("th","e") must see the output of ("t","h")
     assert "the" in got[1]
+
+
+def test_bpe_encode_batched_equals_single_plan(spark, tmp_path):
+    """batch_size re-materializes the word relation between fold batches;
+    the output must be identical to the single-expression-tree plan."""
+    from shacl_validator_spark.operators.quality import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "r"), ("o", "n"), ("i", "n")]
+    docs = [
+        (1, "the weather there in london"),
+        (2, "aaa aaaa baaab bonbon"),
+        (3, "Thermal THEORY the inn"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    single = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    batched = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(
+            df, merges, batch_size=2, scratch_dir=str(tmp_path / "s")
+        ).collect()
+    }
+    assert batched == single
+    for did, text in docs:
+        assert batched[did] == _py_bpe_encode(text, merges), did
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_encode(df, merges, batch_size=-1)
