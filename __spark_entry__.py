@@ -947,6 +947,21 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_bm25_rank(spark, sf_dir):
+    """Ranked retrieval (Okapi BM25, Lucene idf) for a fixed 3-term query
+    over the documents corpus — operators/index.py bm25_rank: the scored
+    upgrade of the reference's substring search (P7).  The (doc, term)
+    stream is filtered to the query before aggregation; df/avgdl are
+    broadcast one-row/query-sized relations; top-15 by (score desc, doc)."""
+    from shacl_validator_spark.operators.index import bm25_rank
+
+    return bm25_rank(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        ["hash", "join", "window"],
+        k=15,
+    )
+
+
 def q_markdown_preprocess(spark, sf_dir):
     """F9 (ValidationResults.tsx:131-149): message markdown preprocessing —
     tables pass through, pipe-less text passes through, otherwise pipes
@@ -1707,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "bpe_encode": q_bpe_encode,
         "markdown_preprocess": q_markdown_preprocess,
+        "bm25_rank": q_bm25_rank,
         "file_size_report": q_file_size_report,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
@@ -2785,6 +2801,43 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    sql["bm25_rank"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS term
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), {_TOKEN_RE_SQL})) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        qtf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE term IN ('hash', 'join', 'window')
+          GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+        scored AS (
+          SELECT qtf.doc_id,
+                 ROUND(SUM(
+                   ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (qtf.tf * 2.2)
+                   / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM qtf
+          JOIN dft USING (term)
+          JOIN dl ON qtf.doc_id = dl.doc_id, stats
+          GROUP BY qtf.doc_id
+        )
+        SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+          SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= 15
     """
 
     sql["markdown_preprocess"] = """

@@ -103,3 +103,87 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("doc", "term", "score", "rank")
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked retrieval: top-``k`` documents for a bag-of-words ``query``
+    under Okapi BM25 with the Lucene idf form,
+
+        score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5))
+                       · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    summed over the query terms present in ``d``.  This is the scored
+    upgrade of the reference's substring search
+    (DataDiscoveryService.ts:41-47, P7): same entry point — terms in, docs
+    out — but ranked, so a 10^12-document corpus returns the k best rows
+    instead of the first k matches.  Output: ``(id_col, score, rank)``,
+    score rounded to 6 decimals (the cross-engine float contract), ties
+    broken by doc id ascending.
+
+    Scale notes (100 TB): the (doc, term) stream is filtered to the query
+    terms BEFORE its aggregation, so the only corpus-sized work is the
+    tokenizer scan; df/N/avgdl are query-sized and one-row relations,
+    broadcast onto the survivors; the top-k is an orderBy+limit —
+    TakeOrderedAndProject, never a global sort.  For repeated query loads
+    the same formula runs against the materialized ``inverted_index``
+    postings instead of re-scanning text.
+    """
+    if not query:
+        raise ValueError("query must be non-empty")
+    terms = [t.lower() for t in query]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("term"),
+    )
+    # per-doc length and the corpus stats (one-row relation, broadcast)
+    dl = docs.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN))
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = dl.select(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc").alias(id_col), "score", "rank"
+    )

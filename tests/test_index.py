@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from shacl_validator_spark.operators.index import (
     IDF_SCALE,
     doc_terms,
@@ -55,3 +57,44 @@ def test_tfidf_scores_exact_and_tie_break(spark):
     # idf1 = 3e6 — equal scores, tie breaks on term asc: cherry first
     assert sorted(by_doc[3]) == [(1, "cherry", 2 * idf2), (2, "date", idf1)]
     assert 2 * idf2 == idf1  # the tie the test exercises is real
+
+
+def test_bm25_rank_hand_math(spark):
+    """BM25 against a hand-computed reference on a 4-doc fixture."""
+    import math
+
+    from shacl_validator_spark.operators.index import bm25_rank
+
+    docs = [
+        (1, "hash join hash join hash"),      # tf(hash)=3 tf(join)=2 dl=5
+        (2, "window sort window"),            # tf(window)=2 dl=3
+        (3, "hash scan filter scan"),         # tf(hash)=1 dl=4
+        (4, "merge sort group"),              # no query terms, dl=3
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    query, k1, b = ["hash", "join", "window"], 1.2, 0.75
+    n, avgdl = 4, (5 + 3 + 4 + 3) / 4.0
+
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want = {
+        1: round(idf(2) * part(3, 5) + idf(1) * part(2, 5), 6),
+        2: round(idf(1) * part(2, 3), 6),
+        3: round(idf(2) * part(1, 4), 6),
+    }
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_rank(df, query, k=10).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 matches nothing
+    for d in want:
+        assert got[d][0] == pytest.approx(want[d], abs=2e-6), d
+    # ranking order: doc 1 carries two matching terms incl. a rarer one
+    assert [d for d, (s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == sorted(
+        want, key=lambda d: (-want[d], d)
+    )
+    # k truncates
+    assert bm25_rank(df, query, k=1).count() == 1
+    with pytest.raises(ValueError):
+        bm25_rank(df, [], k=1)
