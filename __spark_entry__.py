@@ -947,6 +947,26 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join (operators/temporal.py range_join):
+    every event paired with the 45-minute maintenance windows that contain
+    it (windows anchored at every 97th event).  The naive BETWEEN
+    condition would plan as a nested loop; here both sides map onto
+    30-minute buckets and meet in a bucket-keyed EQUI-join + residual
+    filter — each qualifying pair meets exactly once (the point's bucket).
+    Oracle: DuckDB's native BETWEEN join."""
+    from shacl_validator_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    wins = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    out = range_join(ev, wins, "ts", "w_start", "w_end", bucket_seconds=1800)
+    return out.select("event_id", "window_id")
+
+
 def q_bm25_rank(spark, sf_dir):
     """Ranked retrieval (Okapi BM25, Lucene idf) for a fixed 3-term query
     over the documents corpus — operators/index.py bm25_rank: the scored
@@ -1723,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "markdown_preprocess": q_markdown_preprocess,
         "bm25_rank": q_bm25_rank,
+        "range_join": q_range_join,
         "file_size_report": q_file_size_report,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
@@ -2801,6 +2822,17 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(c * lr), 6) AS log_weight
         FROM pd JOIN lr USING (b)
         GROUP BY pd.doc_id
+    """
+
+    sql["range_join"] = """
+        WITH wins AS (
+          SELECT event_id AS window_id, ts AS w_start,
+                 ts + INTERVAL 45 MINUTE AS w_end
+          FROM events WHERE event_id % 97 = 0
+        )
+        SELECT e.event_id, w.window_id
+        FROM events e JOIN wins w
+          ON e.ts BETWEEN w.w_start AND w.w_end
     """
 
     sql["bm25_rank"] = f"""

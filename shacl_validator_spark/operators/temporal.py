@@ -112,3 +112,67 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    point_id: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join — the OTHER join type Spark lacks natively:
+    every point row paired with every interval row whose
+    ``[start_col, end_col]`` (inclusive both ends) contains
+    ``point_col``.  Maintenance windows over events, price validity
+    ranges over trades, campaign windows over clicks.
+
+    Spark-first design: the naive ``ON p BETWEEN s AND e`` non-equi
+    condition plans as BroadcastNestedLoopJoin — quadratic and
+    broadcast-bound.  Instead both sides are mapped onto fixed
+    ``bucket_seconds`` time buckets: a point lands in exactly ONE bucket,
+    an interval explodes to the buckets it covers, and the join becomes a
+    bucket-keyed EQUI-join + a residual between-filter.  Each qualifying
+    (point, interval) pair meets in exactly one bucket — the point's — so
+    no post-join dedup is needed.
+
+    ``how="left"`` keeps unmatched points with NULL interval columns (an
+    anti-join of the matched ``point_id`` set back onto ``points``;
+    requires ``point_id``, a unique point key).
+
+    Scale notes (100 TB): shuffle is on the bucket id — pick
+    ``bucket_seconds`` near the MEDIAN interval length so a typical
+    interval explodes to ~2 buckets (the explode factor is
+    ``len/bucket + 1``); a pathological year-long interval at hour
+    buckets explodes to ~9k rows, which is still dimension-sized — cap
+    upstream if intervals are adversarial.  Hot buckets (event spikes)
+    behave like any equi-join skew: AQE skew-join splits them.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    if how == "left" and point_id is None:
+        raise ValueError("how='left' needs point_id (a unique point key)")
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+    i_buckets = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+        F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds),
+    )
+    p = points.withColumn("_rb", p_bucket)
+    i = intervals.withColumn("_rb", F.explode(i_buckets))
+    matched = p.join(i, "_rb").filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    ).drop("_rb")
+    if how == "inner":
+        return matched
+    # left: points whose id never matched get one NULL-extended row
+    dtypes = dict(intervals.dtypes)
+    unmatched = points.join(
+        matched.select(point_id).distinct(), point_id, "left_anti"
+    )
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dtypes[c]))
+    return matched.unionByName(unmatched)

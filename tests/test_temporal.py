@@ -76,3 +76,53 @@ def test_asof_plan_is_single_window_pass(spark, frames):
     )
     assert "Window" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_inner_and_left(spark):
+    """Bucketed range join vs a brute-force reference, across bucket
+    widths (correctness must not depend on bucket_seconds)."""
+    import datetime as dt
+
+    from shacl_validator_spark.operators.temporal import range_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    points = [(i, at(m)) for i, m in enumerate([0, 30, 61, 95, 200, 1500])]
+    intervals = [
+        (100, at(0), at(60)),      # covers p0, p1, p61? 61>60 no
+        (101, at(45), at(100)),    # covers p2(61), p3(95), p1(30)? no: 30<45
+        (102, at(90), at(90)),     # degenerate single-instant, matches none
+        (103, at(1400), at(2000)), # long interval spanning many buckets
+    ]
+    p_df = spark.createDataFrame(points, ["pid", "ts"])
+    i_df = spark.createDataFrame(intervals, ["iid", "s", "e"])
+
+    want = {
+        (p, i)
+        for p, pt in points
+        for i, s, e in intervals
+        if s <= pt <= e
+    }
+    for width in (60, 3600, 86400):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(p_df, i_df, "ts", "s", "e", bucket_seconds=width).collect()
+        }
+        assert got == want, width
+
+    left = range_join(
+        p_df, i_df, "ts", "s", "e", bucket_seconds=3600, how="left", point_id="pid"
+    ).collect()
+    pairs = {(r["pid"], r["iid"]) for r in left}
+    assert {pr for pr in pairs if pr[1] is not None} == want
+    matched_pids = {p for p, _ in want}
+    assert {p for p, i in pairs if i is None} == {p for p, _ in points} - matched_pids
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(p_df, i_df, "ts", "s", "e", how="left")
+    with pytest.raises(ValueError):
+        range_join(p_df, i_df, "ts", "s", "e", how="full")
