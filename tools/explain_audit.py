@@ -164,6 +164,18 @@ def main() -> None:
     )
 
     audit(
+        "range_join",
+        lambda t: "BroadcastNestedLoopJoin" not in t and "CartesianProduct" not in t
+        and ("BroadcastHashJoin" in t or "SortMergeJoin" in t or "ShuffledHashJoin" in t),
+        "range join is a bucket-keyed equi-join, never a nested loop",
+    )
+    audit(
+        "bm25_rank",
+        lambda t: "TakeOrderedAndProject" in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "BM25 top-k planned as TakeOrderedAndProject, pure JVM",
+    )
+    audit(
         "dsir_weights",
         lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         and "CartesianProduct" not in t
