@@ -967,6 +967,32 @@ def q_range_join(spark, sf_dir):
     return out.select("event_id", "window_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py interval_join): user
+    sessions (40-min windows anchored at every 89th event) × maintenance
+    windows (45-min at every 97th event).  Both sides explode onto
+    30-minute buckets; a pair survives ONLY in the bucket of
+    max(start, start) — exactly-once without dedup.  Oracle: DuckDB's
+    native overlap join."""
+    from shacl_validator_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    sess = ev.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("session_id"),
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 40 MINUTES")).alias("s_end"),
+    )
+    wins = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    out = interval_join(
+        sess, wins, ("s_start", "s_end"), ("w_start", "w_end"), bucket_seconds=1800
+    )
+    return out.select("session_id", "window_id")
+
+
 def q_bm25_rank(spark, sf_dir):
     """Ranked retrieval (Okapi BM25, Lucene idf) for a fixed 3-term query
     over the documents corpus — operators/index.py bm25_rank: the scored
@@ -1744,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_preprocess": q_markdown_preprocess,
         "bm25_rank": q_bm25_rank,
         "range_join": q_range_join,
+        "interval_join": q_interval_join,
         "file_size_report": q_file_size_report,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
@@ -2833,6 +2860,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id, w.window_id
         FROM events e JOIN wins w
           ON e.ts BETWEEN w.w_start AND w.w_end
+    """
+
+    sql["interval_join"] = """
+        WITH sess AS (
+          SELECT event_id AS session_id, ts AS s_start,
+                 ts + INTERVAL 40 MINUTE AS s_end
+          FROM events WHERE event_id % 89 = 0
+        ),
+        wins AS (
+          SELECT event_id AS window_id, ts AS w_start,
+                 ts + INTERVAL 45 MINUTE AS w_end
+          FROM events WHERE event_id % 97 = 0
+        )
+        SELECT s.session_id, w.window_id
+        FROM sess s JOIN wins w
+          ON s.s_start <= w.w_end AND w.w_start <= s.s_end
     """
 
     sql["bm25_rank"] = f"""

@@ -126,3 +126,43 @@ def test_range_join_inner_and_left(spark):
         range_join(p_df, i_df, "ts", "s", "e", how="left")
     with pytest.raises(ValueError):
         range_join(p_df, i_df, "ts", "s", "e", how="full")
+
+
+def test_interval_join_exactly_once(spark):
+    """Overlap join vs brute force; pairs sharing MANY buckets must still
+    appear exactly once (the max-start-bucket trick)."""
+    import datetime as dt
+
+    from shacl_validator_spark.operators.temporal import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    lefts = [
+        (1, at(0), at(600)),     # 10h — spans many 1h buckets
+        (2, at(30), at(40)),
+        (3, at(700), at(710)),
+        (4, at(100), at(100)),   # instant
+    ]
+    rights = [
+        (10, at(5), at(595)),    # overlaps 1 in ~10 shared buckets, 2, 4
+        (11, at(39), at(45)),    # overlaps 1, 2 (at minute 39-40)
+        (12, at(650), at(705)),  # overlaps 3 only
+        (13, at(800), at(900)),  # overlaps none
+    ]
+    l_df = spark.createDataFrame(lefts, ["lid", "ls", "le"])
+    r_df = spark.createDataFrame(rights, ["rid", "rs", "re"])
+    want = {
+        (li, ri)
+        for li, ls, le in lefts
+        for ri, rs, re in rights
+        if ls <= re and rs <= le
+    }
+    for width in (60, 3600, 86400):
+        rows = interval_join(
+            l_df, r_df, ("ls", "le"), ("rs", "re"), bucket_seconds=width
+        ).collect()
+        got = [(r["lid"], r["rid"]) for r in rows]
+        assert sorted(got) == sorted(want), width  # exactly once, no dups
