@@ -1059,6 +1059,23 @@ def q_file_size_report(spark, sf_dir):
     )
 
 
+def q_apply_mix(spark, sf_dir):
+    """Mix realization: temperature weights (τ=2) over the language mix,
+    REALIZED as concrete rows — floor(w) guaranteed copies per doc plus a
+    deterministic md5-fraction extra (operators/sampling.py apply_mix).
+    The oracle replays the whole chain (fit → weight → copy fan-out) in
+    SQL, so the exact multiset of (doc, copy) rows is hash-checked."""
+    from shacl_validator_spark.operators.sampling import (
+        apply_mix,
+        temperature_weights,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = temperature_weights(d, "lang", tau=2.0).select("lang", "weight")
+    out = apply_mix(d, w, "lang")
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 def q_shard_manifest(spark, sf_dir):
     """Training-shard delivery manifest: deterministic md5 shard
     assignment (8 shards) + per-shard doc/token/byte counts and the
@@ -1771,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "range_join": q_range_join,
         "interval_join": q_interval_join,
+        "apply_mix": q_apply_mix,
         "file_size_report": q_file_size_report,
         "mix_weights": q_mix_weights,
         "vocab_topk": q_vocab_topk,
@@ -3014,6 +3032,26 @@ def oracle_sql() -> dict[str, str]:
                                       AS UBIGINT) AS BIGINT)) AS BIGINT)
                    AS content_xor
         FROM s GROUP BY shard
+    """
+
+    sql["apply_mix"] = """
+        WITH per AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS nat
+          FROM documents GROUP BY lang
+        ),
+        z AS (SELECT SUM(POW(nat, 0.5)) AS ps FROM per),
+        w AS (SELECT lang, POW(nat, 0.5) / ps / nat AS weight FROM per, z),
+        r AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(FLOOR(w.weight) AS BIGINT)
+                 + CASE WHEN CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                                       AS UBIGINT) AS DOUBLE) / 4294967296.0
+                             < w.weight - FLOOR(w.weight)
+                        THEN 1 ELSE 0 END AS n
+          FROM documents d JOIN w USING (lang)
+        )
+        SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+        FROM r WHERE n > 0
     """
 
     sql["temperature_weights"] = """

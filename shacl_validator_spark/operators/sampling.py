@@ -288,3 +288,46 @@ def temperature_weights(df: DataFrame, group_col: str, tau: float) -> DataFrame:
             / F.col("natural_frac")
         ).alias("weight"),
     )
+
+
+def apply_mix(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Realize fractional per-group sampling weights as concrete rows —
+    the missing executor between ``mix_weights`` / ``temperature_weights``
+    (which COMPUTE expected-repetition factors) and a training corpus
+    (which needs actual rows).
+
+    A row in group g with weight w gets ``floor(w)`` guaranteed copies
+    plus one more iff ``md5_frac(id) < w - floor(w)`` — deterministic
+    per id (same row → same copy count, forever, in every engine; the
+    md5-prefix uniform from ``hash_sample``), so the expected group size
+    is exactly ``n_g · w_g`` and retries/audits reproduce the identical
+    multiset.  Weight 0 (or NULL) drops the group; weight < 1 degrades to
+    pure subsampling.  Output: the input columns plus ``copy_idx``
+    (0-based) — shuffle downstream by e.g. md5(id, copy_idx) so repeats
+    don't sit adjacent.
+
+    Scale notes (100 TB): the weights relation is group-cardinality-sized
+    → broadcast; the copy fan-out is a narrow explode (factor = the mix's
+    upsample cap); no shuffle introduced here.
+    """
+    frac32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("decimal(20,0)") / F.lit(float(0x100000000))
+    w = F.coalesce(F.col(weight_col), F.lit(0.0))
+    n_copies = (
+        F.floor(w).cast("long")
+        + F.when(frac32 < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.join(F.broadcast(weights.select(group_col, weight_col)), group_col)
+        .withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc", weight_col)
+    )

@@ -195,3 +195,37 @@ def test_temperature_weights_math_and_limits(spark):
     assert tot == pytest.approx(100.0)
     with pytest.raises(ValueError):
         temperature_weights(df, "lang", tau=0.0)
+
+
+def test_apply_mix_deterministic_realization(spark):
+    """apply_mix realizes fractional weights as exact floor copies plus a
+    deterministic md5-fraction extra — differential vs pure Python."""
+    import hashlib
+
+    from shacl_validator_spark.operators.sampling import apply_mix
+
+    df = _corpus(spark, 300)  # langs 0/1/2, 100 docs each
+    weights = spark.createDataFrame(
+        [("0", 2.3), ("1", 0.4), ("2", 0.0)], ["lang", "weight"]
+    )
+    rows = apply_mix(df, weights, "lang").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+
+    def frac(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+
+    for did in range(300):
+        lang = did % 3
+        w = {0: 2.3, 1: 0.4, 2: 0.0}[lang]
+        n = int(w) + (1 if frac(did) < w - int(w) else 0)
+        if n == 0:
+            assert did not in got, did
+        else:
+            assert sorted(got[did]) == list(range(n)), did
+    # expected sizes realized: lang 0 ≈ 230, lang 1 ≈ 40, lang 2 = 0
+    n0 = sum(len(v) for d, v in got.items() if d % 3 == 0)
+    n1 = sum(len(v) for d, v in got.items() if d % 3 == 1)
+    assert 200 <= n0 <= 260 and 25 <= n1 <= 55
+    assert not any(d % 3 == 2 for d in got)
