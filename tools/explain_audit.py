@@ -176,6 +176,29 @@ def main() -> None:
         "BM25 top-k planned as TakeOrderedAndProject, pure JVM",
     )
     audit(
+        "interval_join",
+        lambda t: "BroadcastNestedLoopJoin" not in t and "CartesianProduct" not in t
+        and ("BroadcastHashJoin" in t or "SortMergeJoin" in t or "ShuffledHashJoin" in t),
+        "interval overlap join is bucket-keyed equi-join, never a nested loop",
+    )
+    audit(
+        "shard_manifest",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "partial_count" in t,
+        "shard manifest: map-side-combined aggregation, pure JVM",
+    )
+    audit(
+        "bpe_encode",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t,
+        "pinned-BPE corpus tokenization stays JVM-side",
+    )
+    audit(
+        "apply_mix",
+        lambda t: "BroadcastHashJoin" in t and "BatchEvalPython" not in t
+        and "ArrowEvalPython" not in t,
+        "mix realization: weights broadcast, narrow copy fan-out, pure JVM",
+    )
+    audit(
         "dsir_weights",
         lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         and "CartesianProduct" not in t
