@@ -120,7 +120,8 @@ def bm25_rank(
         score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5))
                        · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-    summed over the query terms present in ``d``.  This is the scored
+    summed over the query terms present in ``d`` (a term repeated in the
+    query counts once per occurrence).  This is the scored
     upgrade of the reference's substring search
     (DataDiscoveryService.ts:41-47, P7): same entry point — terms in, docs
     out — but ranked, so a 10^12-document corpus returns the k best rows
@@ -139,6 +140,15 @@ def bm25_rank(
     if not query:
         raise ValueError("query must be non-empty")
     terms = [t.lower() for t in query]
+    # bag-of-words: a term repeated in the query contributes its component
+    # once per occurrence (query-side tf as a weight)
+    qw_counts: dict[str, int] = {}
+    for t in terms:
+        qw_counts[t] = qw_counts.get(t, 0) + 1
+    qweights = docs.sparkSession.createDataFrame(
+        [(t, float(c)) for t, c in sorted(qw_counts.items())],
+        "term string, qw double",
+    )
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -163,12 +173,14 @@ def bm25_rank(
     df_tbl = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         qtf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(qweights), "term")
         .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc",
             (
-                F.log(
+                F.col("qw")
+                * F.log(
                     1.0
                     + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 )

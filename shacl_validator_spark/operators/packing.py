@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import token_count
+from .sampling import md5_prefix32
 
 
 def pack_windows(
@@ -45,9 +46,7 @@ def pack_windows(
     if window_tokens <= 0:
         raise ValueError(f"window_tokens must be positive, got {window_tokens}")
     key = F.md5(F.col(id_col).cast("string"))
-    bucket = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("decimal(20,0)") % buckets
-    ).cast("long")
+    bucket = (md5_prefix32(F.col(id_col).cast("string")) % buckets).cast("long")
     d = docs.select(
         F.col(id_col),
         bucket.alias("bucket"),

@@ -612,14 +612,19 @@ def bpe_encode(
             scratch_dir = tempfile.mkdtemp(prefix="bpe_encode_")
             atexit.register(shutil.rmtree, scratch_dir, ignore_errors=True)
         seg = words.select("_w", _char_symbols(F.col("_w")).alias("_pieces"))
-        for step, i in enumerate(range(0, len(merges), batch_size)):
+        starts = list(range(0, len(merges), batch_size))
+        for step, i in enumerate(starts):
             syms = F.col("_pieces")
             for lhs, rhs in merges[i : i + batch_size]:
                 syms = _merge_fold(syms, lhs, rhs)
             seg = seg.select("_w", syms.alias("_pieces"))
-            path = f"{scratch_dir}/seg{step % 2}"
-            seg.write.mode("overwrite").parquet(path)
-            seg = spark.read.parquet(path)
+            # the FINAL batch stays lazy on top of the previous scratch
+            # read — plan depth is already bounded, and materializing it
+            # would pay one extra write+read of the word relation
+            if step < len(starts) - 1:
+                path = f"{scratch_dir}/seg{step % 2}"
+                seg.write.mode("overwrite").parquet(path)
+                seg = spark.read.parquet(path)
     per = (
         toks.join(seg, "_w")
         .groupBy(id_col)

@@ -36,6 +36,17 @@ def _hash_key(id_col: str) -> F.Column:
     return F.md5(F.col(id_col).cast("string"))
 
 
+def md5_prefix32(col: F.Column) -> F.Column:
+    """First 8 hex chars of md5(``col``), base-16-decoded: a deterministic
+    uniform 32-bit value.  THE engine-portable hash contract every
+    keep/assign/copy decision in the pipeline shares (``hash_sample``,
+    ``apply_mix``, ``hashed_gram_buckets``, ``shards.shard_assign``,
+    ``packing.pack_windows``, tools/build_corpus) — DuckDB reproduces it
+    verbatim as ``conv(substring(md5(x),1,8),16,10)``, so the sites must
+    stay byte-identical; change it here or nowhere."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose md5(id) falls
     below the threshold.  Same id → same decision, forever, in every
@@ -44,8 +55,7 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataF
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     threshold = int(fraction * 0x100000000)
-    bucket = F.conv(F.substring(_hash_key(id_col), 1, 8), 16, 10).cast("decimal(20,0)")
-    return df.filter(bucket < F.lit(threshold))
+    return df.filter(md5_prefix32(F.col(id_col).cast("string")) < F.lit(threshold))
 
 
 def mix_weights(
@@ -157,10 +167,9 @@ def hashed_gram_buckets(
         ),
         1,
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
-        % F.lit(n_buckets)
-    ).cast("bigint")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    bucket = (md5_prefix32(F.col("_g")) % F.lit(n_buckets)).cast("bigint")
     return (
         df.select(F.col(id_col), F.explode(grams).alias("_g"))
         .select(id_col, bucket.alias("_b"))
@@ -316,9 +325,7 @@ def apply_mix(
     → broadcast; the copy fan-out is a narrow explode (factor = the mix's
     upsample cap); no shuffle introduced here.
     """
-    frac32 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("decimal(20,0)") / F.lit(float(0x100000000))
+    frac32 = md5_prefix32(F.col(id_col).cast("string")) / F.lit(float(0x100000000))
     w = F.coalesce(F.col(weight_col), F.lit(0.0))
     n_copies = (
         F.floor(w).cast("long")

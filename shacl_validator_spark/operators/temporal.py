@@ -123,6 +123,7 @@ def range_join(
     bucket_seconds: int = 3600,
     how: str = "inner",
     point_id: str | None = None,
+    interval_prefix: str = "",
 ) -> DataFrame:
     """Point-in-interval join — the OTHER join type Spark lacks natively:
     every point row paired with every interval row whose
@@ -155,6 +156,20 @@ def range_join(
         raise ValueError(f"how must be 'inner' or 'left', got {how}")
     if how == "left" and point_id is None:
         raise ValueError("how='left' needs point_id (a unique point key)")
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    shared = set(points.columns) & set(intervals.columns)
+    if interval_prefix:
+        intervals = intervals.select(
+            *[F.col(c).alias(f"{interval_prefix}{c}") for c in intervals.columns]
+        )
+        start_col = f"{interval_prefix}{start_col}"
+        end_col = f"{interval_prefix}{end_col}"
+    elif shared:
+        raise ValueError(
+            f"points and intervals share columns {sorted(shared)}; pass "
+            "interval_prefix to disambiguate the interval side"
+        )
     p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
     i_buckets = F.sequence(
         F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
@@ -184,6 +199,7 @@ def interval_join(
     left_range: tuple[str, str],
     right_range: tuple[str, str],
     bucket_seconds: int = 3600,
+    right_prefix: str = "",
 ) -> DataFrame:
     """Interval-overlap join: every (left, right) pair whose closed ranges
     ``[l_start, l_end]`` and ``[r_start, r_end]`` overlap — session
@@ -202,8 +218,21 @@ def interval_join(
     is ``len/bucket + 1`` (pick ``bucket_seconds`` near the median
     interval length); skewed buckets split under AQE like any equi-join.
     """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     ls, le = left_range
     rs, re_ = right_range
+    shared = set(left.columns) & set(right.columns)
+    if right_prefix:
+        right = right.select(
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+        )
+        rs, re_ = f"{right_prefix}{rs}", f"{right_prefix}{re_}"
+    elif shared:
+        raise ValueError(
+            f"left and right share columns {sorted(shared)}; pass "
+            "right_prefix to disambiguate the right side"
+        )
 
     def buckets(s: str, e: str):
         return F.sequence(

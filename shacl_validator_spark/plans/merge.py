@@ -132,23 +132,33 @@ def merge_triples_iceberg(
     The target table is expected to exist with the batch schema plus the
     subject-bucket layout (``PARTITIONED BY (bucket(N, subject))`` — Iceberg
     hidden partitioning replaces the explicit ``partition_key`` column, and
-    its bucket transform gives the same subject co-location).  Row count
-    delta is read from the table's own snapshot history rather than a second
-    anti-join scan.
+    its bucket transform gives the same subject co-location).  The inserted
+    row count is read from the newest snapshot's ``added-records`` summary —
+    no table scan.  That snapshot is the MERGE's own commit under a single
+    writer; if a concurrent writer can land between the MERGE and the
+    summary read, isolate the batch on a branch (WAP) before trusting the
+    attribution.
 
-    Raises a clear error when no row-level-operation catalog is configured
-    (the sandbox case) so callers fall back to the parquet emulation.
+    Raises a clear fall-back error ONLY when the MERGE statement itself
+    fails (no row-level-operation catalog configured — the sandbox case).
+    A failure after the MERGE committed propagates untouched: replaying
+    the batch into the parquet emulation at that point would double-land
+    the data across two stores.
     """
     keyed = batch if assume_unique else batch.dropDuplicates(MERGE_KEY)
     keyed.createOrReplaceTempView("_merge_batch_src")
-    try:
-        before = spark.table(table).count()
-        spark.sql(iceberg_merge_sql(table, "_merge_batch_src"))
-        return spark.table(table).count() - before
-    except Exception as exc:  # pragma: no cover - exercised only with jars
-        raise RuntimeError(
-            "MERGE INTO requires a row-level-operation catalog (Iceberg); "
-            "use merge_triples() for the parquet emulation"
-        ) from exc
+    try:  # pragma: no cover - exercised only with Iceberg jars
+        try:
+            spark.sql(iceberg_merge_sql(table, "_merge_batch_src"))
+        except Exception as exc:
+            raise RuntimeError(
+                "MERGE INTO requires a row-level-operation catalog (Iceberg); "
+                "use merge_triples() for the parquet emulation"
+            ) from exc
+        row = spark.sql(
+            f"SELECT summary FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0]["summary"].get("added-records", 0)) if row else 0
     finally:
         spark.catalog.dropTempView("_merge_batch_src")

@@ -46,15 +46,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
+from ..operators.sampling import md5_prefix32
 
 
 def shard_assign(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFrame:
     """Add a deterministic ``shard`` column in ``[0, n_shards)``."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = md5_prefix32(F.col(id_col).cast("string"))
     return df.withColumn("shard", (h % F.lit(n_shards)).cast("int"))
 
 
@@ -68,11 +67,17 @@ def shard_manifest(
     text_bytes, content_xor)``.  Empty shards are absent (a delivery with
     0 docs has nothing to verify); callers that need a dense spine join
     against ``spark.range(n_shards)``."""
-    s = shard_assign(df, n_shards, id_col)
+    return _manifest_agg(shard_assign(df, n_shards, id_col), text_col)
+
+
+def _manifest_agg(sharded: DataFrame, text_col: str) -> DataFrame:
+    """The manifest aggregation over a relation that already carries a
+    ``shard`` column (freshly assigned, or read back from ``shard=K/``
+    partition directories)."""
     doc_sig = F.conv(
         F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10
     ).cast("bigint")
-    return s.groupBy("shard").agg(
+    return sharded.groupBy(F.col("shard").cast("int").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"),
         F.sum(F.octet_length(F.col(text_col)).cast("bigint")).alias("text_bytes"),
@@ -90,16 +95,22 @@ def write_training_shards(
 ) -> list[dict]:
     """Write the corpus as ``shard=K/`` JSONL partitions under ``out_dir``
     plus ``out_dir/_manifest.json``; returns the manifest rows (ordered by
-    shard) so callers can assert on the delivery without re-reading it."""
+    shard) so callers can assert on the delivery.
+
+    The manifest is computed by READING BACK the JSONL that was written —
+    not by re-executing the input lineage — so it describes the delivered
+    bytes even when ``docs`` has a non-deterministic upstream (a sample,
+    a source overwritten between actions).  Cost: one scan of the written
+    files, which is exactly the audit a consumer would run anyway."""
     s = shard_assign(docs, n_shards, id_col)
     if one_file_per_shard:
         s = s.repartition(n_shards, "shard")
-    s.write.mode("overwrite").partitionBy("shard").json(os.path.join(out_dir, "data"))
-    rows = (
-        shard_manifest(docs, n_shards, id_col, text_col)
-        .orderBy("shard")
-        .collect()
-    )
+    data_dir = os.path.join(out_dir, "data")
+    s.write.mode("overwrite").partitionBy("shard").json(data_dir)
+    # explicit schema: skips the inference pass and keeps an all-empty
+    # delivery readable (schema inference fails on zero files)
+    written = docs.sparkSession.read.schema(s.schema).json(data_dir)
+    rows = _manifest_agg(written, text_col).orderBy("shard").collect()
     manifest = [r.asDict() for r in rows]
     header = {
         "n_shards": n_shards,

@@ -98,3 +98,45 @@ def test_bm25_rank_hand_math(spark):
     assert bm25_rank(df, query, k=1).count() == 1
     with pytest.raises(ValueError):
         bm25_rank(df, [], k=1)
+
+
+def test_bm25_rank_query_term_multiplicity(spark):
+    """A term repeated in the query weights its component once per
+    occurrence (bag-of-words), so ['hash','hash','join'] doubles the
+    hash component — not identical to ['hash','join']."""
+    import math
+
+    from shacl_validator_spark.operators.index import bm25_rank
+
+    docs = [
+        (1, "hash join hash join hash"),
+        (2, "window sort window"),
+        (3, "hash scan filter scan"),
+        (4, "merge sort group"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k1, b = 1.2, 0.75
+    n, avgdl = 4, (5 + 3 + 4 + 3) / 4.0
+
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, ["hash", "hash", "join"], k=10).collect()
+    }
+    want = {
+        1: round(2 * idf(2) * part(3, 5) + idf(1) * part(2, 5), 6),
+        3: round(2 * idf(2) * part(1, 4), 6),
+    }
+    assert set(got) == {1, 3}
+    for d, w in want.items():
+        assert got[d] == pytest.approx(w, abs=2e-6), d
+    single = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, ["hash", "join"], k=10).collect()
+    }
+    assert got[3] != single[3]  # multiplicity actually changes the score

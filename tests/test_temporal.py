@@ -166,3 +166,56 @@ def test_interval_join_exactly_once(spark):
         ).collect()
         got = [(r["lid"], r["rid"]) for r in rows]
         assert sorted(got) == sorted(want), width  # exactly once, no dups
+
+
+def test_range_join_shared_columns_and_guards(spark):
+    """Shared column names must be an explicit error (silent NULL clobber
+    was the failure mode), and interval_prefix must disambiguate — both
+    inner and left paths."""
+    import datetime as dt
+
+    import pytest
+    from shacl_validator_spark.operators.temporal import interval_join, range_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    # both sides carry a 'source' column
+    p_df = spark.createDataFrame(
+        [(0, at(30), "web"), (1, at(500), "app")], ["pid", "ts", "source"]
+    )
+    i_df = spark.createDataFrame(
+        [(100, at(0), at(60), "ops")], ["iid", "s", "e", "source"]
+    )
+    with pytest.raises(ValueError, match="share columns"):
+        range_join(p_df, i_df, "ts", "s", "e")
+    rows = range_join(
+        p_df, i_df, "ts", "s", "e", how="left", point_id="pid",
+        interval_prefix="iv_",
+    ).collect()
+    by_pid = {r["pid"]: r for r in rows}
+    assert by_pid[0]["source"] == "web" and by_pid[0]["iv_source"] == "ops"
+    # the unmatched point keeps ITS OWN source; interval columns are NULL
+    assert by_pid[1]["source"] == "app" and by_pid[1]["iv_iid"] is None
+
+    with pytest.raises(ValueError, match="share columns"):
+        interval_join(
+            p_df.select("pid", F.col("ts").alias("a"), F.col("ts").alias("b"), "source"),
+            i_df, ("a", "b"), ("s", "e"),
+        )
+    ov = interval_join(
+        p_df.select("pid", F.col("ts").alias("a"), F.col("ts").alias("b"), "source"),
+        i_df, ("a", "b"), ("s", "e"), right_prefix="r_",
+    ).collect()
+    assert {(r["pid"], r["r_iid"]) for r in ov} == {(0, 100)}
+    assert all(r["source"] in ("web", "app") and r["r_source"] == "ops" for r in ov)
+
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        range_join(p_df, i_df, "ts", "s", "e", bucket_seconds=0, interval_prefix="iv_")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(
+            p_df.select("pid", F.col("ts").alias("a"), F.col("ts").alias("b")),
+            i_df, ("a", "b"), ("s", "e"), bucket_seconds=-1,
+        )

@@ -57,6 +57,7 @@ def main() -> None:
     from shacl_validator_spark.operators.quality import pii_scrub
     from shacl_validator_spark.operators.sampling import (
         dsir_weights,
+        md5_prefix32,
         temperature_weights,
     )
     from shacl_validator_spark.sources.shards import write_training_shards
@@ -105,9 +106,7 @@ def main() -> None:
         "pred_lang",
         F.least(F.lit(1.0), F.lit(args.keep_frac) * F.col("weight")).alias("_rate"),
     )
-    hash32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("decimal(20,0)")
+    hash32 = md5_prefix32(F.col("doc_id").cast("string"))
     final = (
         scored.join(F.broadcast(mix), "pred_lang")
         .filter(hash32 < F.col("_rate") * F.lit(float(0x100000000)))
