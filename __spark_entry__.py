@@ -1086,6 +1086,24 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(_docs(spark, sf_dir).select("doc_id", "text"), 8)
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """Per-source delivery datasheet (operators/quality.py
+    corpus_datasheet): docs/tokens/bytes, distinct languages, exact-dup
+    docs under the dedup normalization contract, and quality mass — one
+    corpus scan, Expand + two-phase agg for the two distincts.  The corpus
+    is documents ∪ a shifted copy of every 5th doc (same lang/source) so
+    the dup columns are exercised, not constant zero."""
+    from shacl_validator_spark.operators.quality import corpus_datasheet
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    dd = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+        )
+    )
+    return corpus_datasheet(dd)
+
+
 def q_temperature_weights(spark, sf_dir):
     """XLM-R-style temperature sampling (τ=2): per-language resampling
     weights that flatten the natural language mix toward uniform —
@@ -1783,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "temperature_weights": q_temperature_weights,
         "shard_manifest": q_shard_manifest,
+        "corpus_datasheet": q_corpus_datasheet,
         "bpe_encode": q_bpe_encode,
         "markdown_preprocess": q_markdown_preprocess,
         "bm25_rank": q_bm25_rank,
@@ -3032,6 +3051,37 @@ def oracle_sql() -> dict[str, str]:
                                       AS UBIGINT) AS BIGINT)) AS BIGINT)
                    AS content_xor
         FROM s GROUP BY shard
+    """
+
+    sql["corpus_datasheet"] = f"""
+        WITH d AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, lang, source FROM documents
+          WHERE doc_id % 5 = 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, {_TOKEN_RE_SQL})))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT md5({_NORM_TEXT})) AS BIGINT)
+                   AS n_unique_texts,
+               ROUND(SUM(
+                 (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25 +
+                 (CASE WHEN length(text) > 0 THEN
+                    1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) * 5, 1.0)
+                  ELSE 0.0 END) * 0.25 +
+                 (CASE WHEN len(regexp_extract_all(' ' || lower(text) || ' ',
+                    '\\s(the|and|of|to|is|in|el|la|de|que|der|die|und)\\s')) > 0 THEN 1.0 ELSE 0.0 END) * 0.25 +
+                 (CASE WHEN len(regexp_extract_all(text, {_TOKEN_RE_SQL})) > 0
+                        AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, {_TOKEN_RE_SQL})) BETWEEN 3 AND 12
+                       THEN 1.0 ELSE 0.0 END) * 0.25
+               ), 4) AS quality_sum,
+               CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM_TEXT})) AS BIGINT)
+                   AS dup_docs
+        FROM d GROUP BY source
     """
 
     sql["apply_mix"] = """

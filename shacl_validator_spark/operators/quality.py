@@ -645,3 +645,56 @@ def bpe_encode(
             F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
         )
     )
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-``group_col`` corpus datasheet — the summary table a delivery
+    ships alongside its shards (the "Datasheets for Datasets" practice):
+    for every source, how much is there (docs, tokens, bytes), how varied
+    it is (distinct languages), how redundant it is (exact-dup docs under
+    the ``exact_duplicates`` normalization contract), and how good it is
+    (``quality_score`` mass).
+
+    Output: ``(group_col, n_docs, n_tokens, text_bytes, n_langs,
+    n_unique_texts, quality_sum, dup_docs)`` where
+    ``dup_docs = n_docs − n_unique_texts`` and ``quality_sum`` is rounded
+    to 4 decimals (the ``quality_by_lang`` cross-engine float contract).
+
+    Scale notes (100 TB): ONE corpus scan; token/byte/quality terms are
+    codegen'd column expressions folded map-side.  The two distinct
+    aggregates (lang, content hash) make Catalyst plan an Expand +
+    two-phase hash aggregate: the corpus stream carries 2 extra SKINNY
+    rows per doc (group + one distinct key each, other columns null), and
+    partial aggregation collapses per-task repeats before the shuffle —
+    so shuffled rows are O(distinct keys per task), never a second scan.
+    Group cardinality is source-count-sized: the result is a dimension
+    relation, safe to collect or broadcast.
+    """
+    from ..functions.text import quality_score, token_count
+    from .dedup import _normalized
+
+    norm_hash = F.md5(_normalized(F.col(text_col)))
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col)).cast("bigint")).alias(
+                "text_bytes"
+            ),
+            F.countDistinct(F.col(lang_col)).alias("n_langs"),
+            F.countDistinct(norm_hash).alias("n_unique_texts"),
+            F.round(F.sum(quality_score(F.col(text_col))), 4).alias(
+                "quality_sum"
+            ),
+        )
+        .withColumn(
+            "dup_docs", (F.col("n_docs") - F.col("n_unique_texts")).cast("long")
+        )
+    )

@@ -409,3 +409,39 @@ def test_bpe_encode_batched_equals_single_plan(spark, tmp_path):
 
     with pytest.raises(ValueError):
         bpe_encode(df, merges, batch_size=-1)
+
+
+def test_corpus_datasheet_hand_math(spark):
+    """Datasheet columns vs hand-computed truth on a fixture with an
+    exact dup (whitespace-normalized), two langs, and a known token/byte
+    census per source."""
+    from shacl_validator_spark.operators.quality import corpus_datasheet
+
+    docs = [
+        # source A: 3 docs, one dup pair under \s+ -> ' ' + lower + trim
+        (1, "Hello   world", "en", "A"),
+        (2, " hello world ", "en", "A"),
+        (3, "tres tristes tigres", "es", "A"),
+        # source B: 1 doc
+        (4, "one two three four", "en", "B"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    rows = {r["source"]: r for r in corpus_datasheet(df).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["n_docs"], a["n_tokens"], a["n_langs"]) == (3, 7, 2)
+    assert a["text_bytes"] == 13 + 13 + 19
+    assert a["n_unique_texts"] == 2 and a["dup_docs"] == 1
+    assert (b["n_docs"], b["n_tokens"], b["n_langs"]) == (1, 4, 1)
+    assert b["n_unique_texts"] == 1 and b["dup_docs"] == 0
+    # quality_sum matches per-doc quality_score sum, rounded to 4
+    from shacl_validator_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    per = df.select("source", quality_score(F.col("text")).alias("q")).collect()
+    import collections
+
+    want = collections.defaultdict(float)
+    for r in per:
+        want[r["source"]] += r["q"]
+    assert a["quality_sum"] == round(want["A"], 4)
+    assert b["quality_sum"] == round(want["B"], 4)
