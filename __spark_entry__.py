@@ -2684,7 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         norm AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
           FROM tagged
         ),
         chunks AS (
@@ -2694,11 +2694,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(generate_series(0, CAST(floor((len(t)-1)/16.0) AS BIGINT))) AS i
           ) g
         ),
-        counts AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+        counts AS (SELECT lower(chunk) AS ck, count(DISTINCT doc_id) AS nd
+                   FROM chunks GROUP BY 1),
         kept AS (
           SELECT c.doc_id, count(*) AS n_kept,
                  string_agg(c.chunk, ' ' ORDER BY c.pos) AS clean_text
-          FROM chunks c JOIN counts USING (chunk)
+          FROM chunks c JOIN counts ON lower(c.chunk) = counts.ck
           WHERE counts.nd < 2
           GROUP BY c.doc_id
         ),

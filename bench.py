@@ -125,6 +125,7 @@ def run_bench(
         "bpe_pair_stats",
         "incremental_dedup",
         "dsir_weights",
+        "corpus_datasheet",
     ]
     if pipeline_only:
         headline = []

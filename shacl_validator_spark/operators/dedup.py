@@ -359,10 +359,15 @@ def chunk_dedup(
     clean_text)`` — ``n_kept < n_chunks`` marks docs that lost boilerplate,
     ``n_kept = 0`` docs that were pure boilerplate (``clean_text = ''``).
 
-    Chunking contract: text is whitespace-normalized (``_normalized``),
-    split on single spaces, and sliced into non-overlapping windows; the
-    final partial window is a chunk too (a shared footer shorter than
-    ``window`` still dedups when it lands on the same boundary).
+    Chunking contract: chunk CONTENT is whitespace-collapsed but
+    case-preserving (a boilerplate gate must not silently lowercase the
+    training corpus), split on single spaces, and sliced into
+    non-overlapping windows; the final partial window is a chunk too (a
+    shared footer shorter than ``window`` still dedups when it lands on
+    the same boundary).  The frequency KEY lowercases the chunk, so
+    matching stays case-insensitive — the same ``_normalized`` identity
+    exact dedup uses.  NULL text is treated as ``''`` (one empty chunk),
+    so every input document gets exactly one output row.
 
     Scale notes (100 TB): chunk rows are ~window tokens each, so the
     explode multiplies row count by ~n_tokens/window without multiplying
@@ -376,7 +381,10 @@ def chunk_dedup(
     doc id; per-doc chunk arrays are bounded by document length, not
     corpus size.
     """
-    tok_arr = F.split(_normalized(F.col(text_col)), " ")
+    ws_norm = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+    )
+    tok_arr = F.split(ws_norm, " ")
     # single-element-array binding (see word_ngrams): Catalyst does not CSE
     # through higher-order lambdas, so a free tok_arr reference would re-run
     # the normalize+split once per chunk per row
@@ -394,9 +402,14 @@ def chunk_dedup(
         ),
         1,
     )
-    chunked = docs.select(
-        F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk")
-    ).withColumn("_h", F.md5("chunk"))
+    # persisted: the relation feeds three consumers (frequency counts, the
+    # kept join probe, per-doc stats) — without it the tokenize+explode
+    # corpus scan runs three times (the minhash per_doc pattern)
+    chunked = (
+        docs.select(F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk"))
+        .withColumn("_h", F.md5(F.lower(F.col("chunk"))))
+        .persist()
+    )
     counts = chunked.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd")
     )
@@ -488,7 +501,10 @@ def near_dup_clusters(
         jaccard_threshold=jaccard_threshold,
         **lsh_kwargs,
     )
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")  # noqa: E731
+    # width 19 = digits of int64 max: lpad TRUNCATES beyond its width, so
+    # 15 would silently collide ids sharing a 15-char prefix; ids must be
+    # non-negative (a '-' breaks lexicographic==numeric order)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")  # noqa: E731
     labels = connected_components(
         pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
     ).select(

@@ -330,6 +330,11 @@ def quantile_thresholds(
     arithmetic — bit-identical on any engine, any partitioning.  The
     trade-off is threshold resolution = ``bin_width``, explicit and
     caller-tunable.
+
+    Negative values clamp to bin 0 (the histogram's floor); the gate
+    applies the SAME clamp before comparing, so the pass-fraction
+    guarantee holds for signals that go negative (log-probs, z-scores) —
+    a negative value passes exactly when its stratum's threshold is 0.
     """
     if not 0 < p_pct < 100:
         raise ValueError(f"p_pct must be in (0, 100), got {p_pct}")
@@ -378,9 +383,13 @@ def quantile_gate(
     stream itself is filtered in place with no shuffle.
     """
     thr = quantile_thresholds(df, value_col, p_pct, strata, bin_width)
+    # same clamp as the histogram (negatives live in bin 0): comparing the
+    # RAW value would reject negative rows below a threshold of 0 and
+    # break the >=(100-p)% pass guarantee
+    clamped = F.greatest(F.col(value_col).cast("long"), F.lit(0))
     return df.join(
         F.broadcast(thr.select(*strata, "threshold")), strata, "inner"
-    ).filter(F.col(value_col).cast("long") >= F.col("threshold"))
+    ).filter(clamped >= F.col("threshold"))
 
 
 # --- distributed BPE tokenizer training -------------------------------------

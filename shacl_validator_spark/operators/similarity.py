@@ -38,6 +38,24 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_mutual(edges: DataFrame) -> DataFrame:
+    """Attach the ``mutual`` flag to a (src, dst, cos, rank) edge relation:
+    1 iff the reversed (dst → src) edge is also present — the mutual-kNN
+    criterion SemDeDup-style clustering keys on.  Shared by ``knn_graph``,
+    ``knn_topk_arrow``, and ``knn_graph_blocked`` so the flag's semantics
+    can only change in one place."""
+    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    return edges.join(
+        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
+    ).select(
+        "src",
+        "dst",
+        "cos",
+        "rank",
+        F.col("_rs").isNotNull().cast("int").alias("mutual"),
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -126,16 +144,7 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos", "rank")
     )
-    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
-    return edges.join(
-        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
-    ).select(
-        "src",
-        "dst",
-        "cos",
-        "rank",
-        F.col("_rs").isNotNull().cast("int").alias("mutual"),
-    )
+    return _with_mutual(edges)
 
 
 def knn_topk_arrow(
@@ -216,16 +225,7 @@ def knn_topk_arrow(
 
     schema = "src long, dst long, cos double, rank int"
     edges = v.mapInPandas(score, schema).persist()
-    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
-    return edges.join(
-        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
-    ).select(
-        "src",
-        "dst",
-        "cos",
-        "rank",
-        F.col("_rs").isNotNull().cast("int").alias("mutual"),
-    )
+    return _with_mutual(edges)
 
 
 def knn_graph_blocked(
@@ -308,16 +308,7 @@ def knn_graph_blocked(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos", "rank")
     )
-    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
-    return edges.join(
-        rev, (edges["src"] == rev["_rd"]) & (edges["dst"] == rev["_rs"]), "left"
-    ).select(
-        "src",
-        "dst",
-        "cos",
-        "rank",
-        F.col("_rs").isNotNull().cast("int").alias("mutual"),
-    )
+    return _with_mutual(edges)
 
 
 def semantic_dedup(
@@ -357,7 +348,10 @@ def semantic_dedup(
     edges = knn_graph(vectors, k=k, id_col=id_col, vec_col=vec_col).filter(
         F.col("cos") >= threshold
     )
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")  # noqa: E731
+    # width 19 = digits of int64 max: lpad TRUNCATES beyond its width, so
+    # 15 would silently collide ids sharing a 15-char prefix; ids must be
+    # non-negative (a '-' breaks lexicographic==numeric order)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")  # noqa: E731
     labels = connected_components(
         edges.select(pad("src").alias("src"), pad("dst").alias("dst"))
     ).select(

@@ -87,8 +87,15 @@ def normalize_url(url: F.Column) -> F.Column:
 
 
 def host_of(norm_url: F.Column) -> F.Column:
-    """Host of an already-normalized URL (port and userinfo excluded)."""
-    return F.regexp_extract(norm_url, r"^[a-z][a-z0-9+.\-]*://([^/:?@]+)", 1)
+    """Host of an already-normalized URL (port and userinfo excluded).
+
+    The optional ``user[:pass]@`` authority prefix is consumed before the
+    host capture — without it, ``https://alice@example.com/`` would
+    return ``alice`` and ``host_cap`` would cap per USERINFO token,
+    letting one host with varying userinfo dominate the corpus."""
+    return F.regexp_extract(
+        norm_url, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?@#]+)", 1
+    )
 
 
 def url_dedup(df: DataFrame, url_col: str = "norm_url", id_col: str = "doc_id") -> DataFrame:

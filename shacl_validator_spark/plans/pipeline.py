@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -270,7 +271,6 @@ def run_pipeline(
     group-local and runs concurrently.  With the default of 1 the behavior
     is byte-identical to the sequential loop.
     """
-    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
@@ -434,17 +434,32 @@ def run_pipeline(
                 spark, table_path, conformant, n_buckets=n_buckets, assume_unique=True
             )
             # the merge has run an action over the observed plan by now, so
-            # this returns without blocking.  On a statically-empty input
-            # AQE's empty-relation propagation eliminates the CollectMetrics
-            # node entirely (no metrics row to read) — n_in==0 implies
-            # conformant==0, so skip the read; the count() fallback covers
-            # any other plan shape that dropped the node.
+            # the metrics read normally returns immediately.  On a
+            # statically-empty input AQE's empty-relation propagation
+            # eliminates the CollectMetrics node entirely (no metrics row to
+            # read) — n_in==0 implies conformant==0, so skip the read.  For
+            # any OTHER plan shape that dropped the node, Observation.get
+            # does not raise — it WAITS for a metrics row that will never
+            # be published — so the read runs on a daemon thread with a
+            # bounded join and falls back to count() on timeout (the
+            # abandoned reader thread parks harmlessly; daemon => it cannot
+            # block interpreter exit).
             if n_in == 0:
                 n_valid = 0
             else:
-                try:
-                    n_valid = int(obs.get["n"])
-                except Exception:  # noqa: BLE001 — metrics node eliminated
+                box: dict[str, int] = {}
+
+                def _read_obs(o=obs, b=box):
+                    try:
+                        b["n"] = int(o.get["n"])
+                    except Exception:  # noqa: BLE001 — metrics unavailable
+                        pass
+
+                reader = threading.Thread(target=_read_obs, daemon=True)
+                reader.start()
+                reader.join(timeout=60.0)
+                n_valid = box.get("n")
+                if n_valid is None:
                     n_valid = conformant.count()
             with open(lineage_path, "a") as f:
                 f.write(

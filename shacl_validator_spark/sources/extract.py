@@ -167,9 +167,14 @@ def _extract_batch_spec(pdf: pd.DataFrame) -> pd.DataFrame:
 # extraction is the pipeline's dominant stage at scale, so this is the
 # highest-leverage kernel in the repo.
 
-# end-anchored subject matcher: leftmost uppercase whose NAME-class run
-# reaches the window end (== the infix position)
-_SUBJ_BACK_RE = re.compile(_NAME.replace("*?", "*") + r"\Z")
+# subject recovery: the NAME continuation class includes [A-Z], so every
+# valid subject start lies inside the MAXIMAL continuation-class run ending
+# at the infix position, and the leftmost valid start is the leftmost
+# uppercase char in that run.  _CONT_RUN_RE.search(s, lo, pos) returns the
+# run's start (leftmost index whose suffix up to pos is all-class);
+# _UPPER_RE then picks the first uppercase inside it.
+_CONT_RUN_RE = re.compile(r"[A-Za-z0-9&\- ]+\Z")
+_UPPER_RE = re.compile(r"[A-Z]")
 
 
 def _split_literal(pattern: str) -> tuple[str, re.Pattern]:
@@ -205,20 +210,26 @@ def _scan_pattern(joined: str, lit: str, fwd: re.Pattern) -> list[tuple[int, str
         if pos >= cursor + 1:
             m = fwd.match(joined, pos)
             if m is not None:
-                # leftmost valid subject start in [cursor, pos): search an
-                # end-anchored window, widening while the NAME-class run
-                # may extend past its left edge
+                # leftmost valid subject start in [cursor, pos): locate the
+                # maximal continuation-run ending at pos with an
+                # end-anchored window (widened while the run may extend
+                # past the window's left edge), then take the run's first
+                # uppercase char
                 w = 256
                 q = None
                 while True:
                     lo = max(cursor, pos - w)
-                    bm = _SUBJ_BACK_RE.search(joined[lo:pos])
-                    if bm is None:
-                        break
-                    if bm.start() > 0 or lo == cursor:
-                        q = lo + bm.start()
-                        break
-                    w *= 2
+                    rm = _CONT_RUN_RE.search(joined, lo, pos)
+                    if rm is None:
+                        break  # char before the infix is not NAME-class
+                    r0 = rm.start()
+                    if r0 == lo and lo > cursor:
+                        w *= 2  # run touches the window edge — widen
+                        continue
+                    um = _UPPER_RE.search(joined, r0, pos)
+                    if um is not None:
+                        q = um.start()
+                    break
                 if q is not None:
                     out.append((q, joined[q:pos], m.group(1)))
                     cursor = m.end()

@@ -281,3 +281,21 @@ def test_dedup_against_empty_sides(spark):
         for r in dedup_against(new, empty, method="jaccard").collect()
     }
     assert got == {101: None, 102: None, 103: None, 104: None}
+
+
+def test_chunk_dedup_preserves_case_and_null_text(spark):
+    """The boilerplate gate must not lowercase the surviving text, must
+    match shared chunks case-INsensitively, and must emit a row for
+    NULL-text docs (one empty chunk) instead of dropping them."""
+    rows = [
+        (1, "NAV BAR Alpha Beta"),
+        (2, "nav bar Gamma Delta"),   # shares chunk 'nav bar' modulo case
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, window=2, max_docs=2).collect()}
+    assert len(out) == 3
+    assert out[1]["clean_text"] == "Alpha Beta"   # casing intact
+    assert out[2]["clean_text"] == "Gamma Delta"
+    assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 1  # shared chunk dropped
+    assert out[3]["n_chunks"] == 1 and out[3]["clean_text"] == ""

@@ -275,3 +275,29 @@ def test_literal_first_kernel_equals_spec_property():
         assert _canon_raw(_extract_batch(pdf)) == _canon_raw(_extract_batch_spec(pdf))
 
     check()
+
+
+def test_fast_kernel_long_subject_runs_match_spec():
+    """Regression: subjects whose NAME-class run exceeds the 256-char
+    back-search window must neither vanish nor truncate — the widening
+    loop follows the run past the window edge, and the leftmost uppercase
+    IN the run wins (not the leftmost uppercase in the window)."""
+    import pandas as pd
+
+    from shacl_validator_spark.sources import extract as E
+
+    cases = [
+        "X" + "a" * 300 + " is located in Object.",     # no upper in window
+        "X" + "a" * 300 + "Bcd is located in Object.",  # later upper in window
+        "x" + "a" * 300 + " is located in Object.",     # no upper at all
+        "!" + "B" * 300 + " is located in Object.",     # run bounded by '!'
+        "Z" + " " * 1000 + "Q is located in P.",        # spaces are class chars
+        ("Y" * 5000) + " is located in W.",             # multiple widenings
+    ]
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in range(len(cases))], "text": cases})
+    cols = ["src_url", "subj_surface", "predicate", "obj_surface", "obj_kind"]
+    spec = E._extract_batch_spec(pdf)[cols].sort_values(cols).reset_index(drop=True)
+    fast = E._extract_batch(pdf)[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(spec, fast)
+    # the >window subjects are present and full-length
+    assert (spec["subj_surface"].str.len() > 256).sum() >= 3

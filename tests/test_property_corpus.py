@@ -16,15 +16,17 @@ from shacl_validator_spark.functions.text import TOKEN_PATTERN
 from shacl_validator_spark.operators.dedup import chunk_dedup
 from shacl_validator_spark.operators.quality import unigram_logprob
 
-word_st = st.sampled_from(["aa", "bb", "cc", "dd"])
+word_st = st.sampled_from(["aa", "bb", "cc", "dd", "Aa", "BB"])
 text_st = st.lists(word_st, min_size=1, max_size=9).map(" ".join)
 corpus_st = st.lists(text_st, min_size=1, max_size=6)
 
 
 def ref_chunk_dedup(texts: list[str], window: int, max_docs: int):
+    # chunk CONTENT case-preserving, frequency KEY lowercased — the
+    # operator's contract
     chunks_per_doc = []
     for t in texts:
-        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        toks = re.sub(r"\s+", " ", t).strip().split(" ")
         chunks_per_doc.append(
             [
                 " ".join(toks[i * window : (i + 1) * window])
@@ -34,10 +36,10 @@ def ref_chunk_dedup(texts: list[str], window: int, max_docs: int):
     ndocs: dict[str, set[int]] = {}
     for d, chunks in enumerate(chunks_per_doc):
         for c in chunks:
-            ndocs.setdefault(c, set()).add(d)
+            ndocs.setdefault(c.lower(), set()).add(d)
     out = {}
     for d, chunks in enumerate(chunks_per_doc):
-        kept = [c for c in chunks if len(ndocs[c]) < max_docs]
+        kept = [c for c in chunks if len(ndocs[c.lower()]) < max_docs]
         out[d] = (len(chunks), len(kept), " ".join(kept))
     return out
 

@@ -445,3 +445,15 @@ def test_corpus_datasheet_hand_math(spark):
         want[r["source"]] += r["q"]
     assert a["quality_sum"] == round(want["A"], 4)
     assert b["quality_sum"] == round(want["B"], 4)
+
+
+def test_quantile_gate_negative_values_keep_guarantee(spark):
+    """Signals that go negative (log-probs) clamp into bin 0 on BOTH the
+    histogram and the gate side, so the >=(100-p)% pass guarantee holds."""
+    from shacl_validator_spark.operators.quality import quantile_gate
+
+    rows = [(i, "g", v) for i, v in enumerate([-5, -5, -5, 100])]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    kept = quantile_gate(df, "v", 20, ["g"], bin_width=64).collect()
+    # threshold lands at bin 0 -> everything passes (>= 80% guaranteed)
+    assert len(kept) == 4

@@ -90,3 +90,21 @@ def test_url_dedup_keeper(spark):
     )
     got = {r["norm_url"]: (r["keeper_id"], r["n_docs"]) for r in url_dedup(d).collect()}
     assert got == {"u1": (3, 2), "u2": (9, 1)}
+
+
+def test_host_of_userinfo_and_port(spark):
+    """userinfo must not be mistaken for the host (per-host capping would
+    otherwise key on the userinfo token)."""
+    df = spark.createDataFrame(
+        [
+            ("https://alice@example.com/x",),
+            ("https://alice:pw@example.com:8443/x",),
+            ("http://plain.example.org/y?q=1",),
+        ],
+        "u string",
+    )
+    assert [r["h"] for r in df.withColumn("h", host_of(F.col("u"))).collect()] == [
+        "example.com",
+        "example.com",
+        "plain.example.org",
+    ]

@@ -206,6 +206,12 @@ def main() -> None:
         "DSIR: ratio relation broadcast onto per-doc counts, pure JVM",
     )
     audit(
+        "corpus_datasheet",
+        lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        and "Expand" in t and t.count("Scan parquet") <= 2,
+        "datasheet: one corpus scan per branch, Expand two-phase distincts, pure JVM",
+    )
+    audit(
         "temperature_weights",
         lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         and "Window" not in t,
