@@ -130,6 +130,11 @@ def _cust_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     global _SCRATCH_DIR
     df = _CUST_CACHE.get(sf_dir)
+    # a memoized DataFrame is bound to the session that built it: after a
+    # spark.stop()/get_spark() cycle the cached plan references a dead JVM
+    # context and every action raises — rebuild for the live session
+    if df is not None and df.sparkSession is not spark:
+        df = None
     if df is None:
         import atexit
 
@@ -170,6 +175,8 @@ def _cust_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
     unexecuted DataFrame is cached: every query still executes from the
     scratch parquet, so bench reps and oracle checks measure real work."""
     v = _VALIDATE_CACHE.get(sf_dir)
+    if v is not None and v.sparkSession is not spark:
+        v = None  # stale plan from a stopped session — rebuild
     if v is None:
         v = validate(
             spark,

@@ -30,7 +30,10 @@ def _cpu_ticks() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # sum only user..steal (first 8 fields): guest/guest_nice are
+        # already contained in user/nice, and double-counting them biases
+        # steal_pct low on exactly the contended hosts the witness flags
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except (OSError, ValueError, IndexError):
         return None
 

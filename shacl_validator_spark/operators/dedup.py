@@ -404,7 +404,9 @@ def chunk_dedup(
     )
     # persisted: the relation feeds three consumers (frequency counts, the
     # kept join probe, per-doc stats) — without it the tokenize+explode
-    # corpus scan runs three times (the minhash per_doc pattern)
+    # corpus scan runs three times (the minhash per_doc pattern; same
+    # lifetime contract: one plan-keyed entry per (corpus, params) until
+    # clearCache()/session end)
     chunked = (
         docs.select(F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk"))
         .withColumn("_h", F.md5(F.lower(F.col("chunk"))))
@@ -491,6 +493,13 @@ def near_dup_clusters(
             F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
             F.sort_array(F.collect_list(F.col(id_col))).alias("_members"),
         )
+        # lifetime: same contract as minhash_lsh_pairs' per_doc persist —
+        # the cache manager keys on the canonicalized plan, so repeated
+        # calls over one corpus reuse a single entry; one corpus-sized
+        # entry (with member arrays) lives per distinct (corpus, params)
+        # until spark.catalog.clearCache() or session end.  Long-lived
+        # sessions sweeping many corpora/thresholds should clearCache()
+        # between sweeps.
         .persist()
     )
     reps = groups.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))

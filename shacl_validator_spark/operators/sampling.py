@@ -51,6 +51,13 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataF
     """Deterministic ~``fraction`` sample: keep rows whose md5(id) falls
     below the threshold.  Same id → same decision, forever, in every
     engine (the first 8 hex chars are compared as a uniform 32-bit value).
+
+    Boundary contract: the threshold is ``int(fraction * 2**32)`` —
+    binary-double multiply, TRUNCATED.  An auditor re-deriving it in SQL
+    must reproduce exactly that (e.g. DuckDB ``CAST(trunc(0.1 * 4294967296)
+    AS UBIGINT)``); a decimal-rounding reproduction disagrees on the one
+    boundary bucket for non-dyadic fractions.  Safer: read the integer
+    threshold from this code and compare against the literal.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")

@@ -64,6 +64,13 @@ def asof_join(
         if right_cols is not None
         else [c for c in right.columns if c not in set(on) | {ts_col}]
     )
+    # NULL-timestamp semantics (the DuckDB ASOF oracle's): a right row with
+    # ts NULL can never be a match — dropped up front (NULLS FIRST under
+    # the ascending sort would otherwise carry it into every unmatched left
+    # row); a left row with ts NULL gets an all-NULL non-match — enforced
+    # by nulling the carried match at the end (NULLS LAST under the
+    # descending forward sort would otherwise hand it a real match).
+    right = right.filter(F.col(ts_col).isNotNull())
     payload = F.struct(
         F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_cols]
     )
@@ -98,6 +105,9 @@ def asof_join(
         left_u.unionByName(right_u)
         .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
+    )
+    matched = matched.withColumn(
+        "_match", F.when(F.col("_t").isNotNull(), F.col("_match"))
     )
     if tolerance_seconds is not None:
         gap = F.abs(

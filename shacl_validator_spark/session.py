@@ -63,10 +63,22 @@ def get_spark(
     # 128 GiB RAM dwarfs any bench-scale spill.  An explicit
     # SPARK_LOCAL_DIRS (the cluster-standard knob) always wins; on a real
     # cluster local dirs are provisioned NVMe and this block is inert.
+    # Per-user path (a fixed shared name would let the first creator's
+    # umask lock other users out) + a write probe so an unwritable tmpfs
+    # falls back to Spark's disk default instead of failing in executors.
+    # Capacity note: tmpfs caps at ~RAM/2 — a job whose spill exceeds that
+    # must set SPARK_LOCAL_DIRS to provisioned disk.
     if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
-        shm = "/dev/shm/spark-local"
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
+        shm = f"/dev/shm/spark-local-{os.getuid()}"
+        try:
+            os.makedirs(shm, exist_ok=True)
+            probe = os.path.join(shm, ".write_probe")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -122,7 +122,6 @@ def test_dedup_stream_first_seen_only(spark, tmp_path):
         dedup_stream(stream)
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointPath", str(tmp_path / "ck"))
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()

@@ -219,3 +219,28 @@ def test_range_join_shared_columns_and_guards(spark):
             p_df.select("pid", F.col("ts").alias("a"), F.col("ts").alias("b")),
             i_df, ("a", "b"), ("s", "e"), bucket_seconds=-1,
         )
+
+
+def test_asof_null_timestamps(spark):
+    """NULL timestamps follow the DuckDB ASOF contract: a null-ts right
+    row is never a match; a null-ts left row gets an all-NULL non-match
+    (both directions)."""
+    left = spark.createDataFrame(
+        [(1, _ts(3), "early"), (1, None, "null-ts"), (1, _ts(20), "late")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (1, _ts(10), "r10")],
+        "user_id long, ts timestamp, val string",
+    )
+    back = {r["tag"]: r for r in asof_join(left, right, ["user_id"]).collect()}
+    assert back["early"]["asof_val"] is None      # no phantom carry
+    assert back["null-ts"]["asof_val"] is None
+    assert back["late"]["asof_val"] == "r10"
+    fwd = {
+        r["tag"]: r
+        for r in asof_join(left, right, ["user_id"], direction="forward").collect()
+    }
+    assert fwd["early"]["asof_val"] == "r10"
+    assert fwd["null-ts"]["asof_val"] is None     # NULLS-LAST would mismatch
+    assert fwd["late"]["asof_val"] is None

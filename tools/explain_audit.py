@@ -208,8 +208,8 @@ def main() -> None:
     audit(
         "corpus_datasheet",
         lambda t: "BatchEvalPython" not in t and "ArrowEvalPython" not in t
-        and "Expand" in t and t.count("Scan parquet") <= 2,
-        "datasheet: one corpus scan per branch, Expand two-phase distincts, pure JVM",
+        and "Expand" in t and t.count("Location: InMemoryFileIndex") <= 2,
+        "datasheet: one corpus scan per union branch, Expand two-phase distincts, pure JVM",
     )
     audit(
         "temperature_weights",
