@@ -2445,6 +2445,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'http://www.w3.org/ns/shacl#MinInclusiveConstraintComponent', 'Warning',
                'http://www.w3.org/ns/dcat#byteSize', COUNT(*) FROM g WHERE k % 9 = 0
         UNION ALL
+        -- "-5"^^xsd:nonNegativeInteger is outside the datatype's value
+        -- space, so the same rows also report sh:datatype
+        SELECT 'http://www.w3.org/ns/shacl#DatatypeConstraintComponent', 'Warning',
+               'http://www.w3.org/ns/dcat#byteSize', COUNT(*) FROM g WHERE k % 9 = 0
+        UNION ALL
         SELECT 'http://www.w3.org/ns/shacl#MinCountConstraintComponent', 'Violation',
                'http://www.w3.org/ns/dcat#endpointURL', COUNT(*) FROM g
         WHERE k % 2 = 0 AND k % 10 = 0
@@ -2771,12 +2776,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lang, w, COUNT(*) AS c FROM w WHERE w <> ''
           GROUP BY 1, 2, 3
         ),
-        per AS (
+        agg AS (
           SELECT doc_id, lang, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS tf
           FROM wc GROUP BY 1, 2
+        ),
+        -- spine: every document gets a row (empty text -> 0 words, NULL
+        -- ratios), mirroring repetition_profile's contract
+        per AS (
+          SELECT d.doc_id, d.lang, COALESCE(a.nw, 0) AS nw0, a.nw, a.nd, a.tf
+          FROM documents d LEFT JOIN agg a USING (doc_id, lang)
         )
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(nw) AS BIGINT) AS total_words,
+               CAST(SUM(nw0) AS BIGINT) AS total_words,
                ROUND(AVG(nd * 1.0 / nw), 4) AS distinct_ratio,
                ROUND(AVG(tf * 1.0 / nw), 4) AS top_frac
         FROM per GROUP BY lang

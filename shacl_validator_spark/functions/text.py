@@ -91,7 +91,10 @@ TOKEN_PATTERN = r"[A-Za-z0-9]+(?:'[a-z]+)?"
 
 def language_id(text: Column) -> Column:
     """Marker-word language-ID heuristic: the language with the most
-    stopword hits wins; ties and zero hits → 'und'.
+    stopword hits wins; zero hits → 'und'; equal-hit TIES break toward the
+    lexicographically-largest language code (the (hits, lang) struct
+    ordering under F.greatest — deterministic, and mirrored verbatim by
+    the DuckDB oracle's CASE precedence).
 
     Pure column expression: per-language hit counts via regexp_count.
     """

@@ -156,6 +156,14 @@ CONSTRAINT_SCHEMA = T.StructType(
         T.StructField("max_inclusive", T.DoubleType(), True),
         T.StructField("min_exclusive", T.DoubleType(), True),
         T.StructField("max_exclusive", T.DoubleType(), True),
+        # temporal forms of the four range facets (xsd:date/xsd:dateTime
+        # literals, e.g. DCAT-AP issued-date floors): ISO lexical string,
+        # cast with to_timestamp at evaluation; exactly one of the numeric/
+        # temporal column pair is set per facet
+        T.StructField("min_inclusive_ts", T.StringType(), True),
+        T.StructField("max_inclusive_ts", T.StringType(), True),
+        T.StructField("min_exclusive_ts", T.StringType(), True),
+        T.StructField("max_exclusive_ts", T.StringType(), True),
         # sh:lessThan / sh:lessThanOrEquals — sibling property IRI whose
         # values every value node must be less than (/ or equal to); the
         # comparison follows SPARQL '<' domains (numeric, dateTime, string)

@@ -76,6 +76,7 @@ def connected_components(
         .dropDuplicates()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for i in range(max_iter):
         # min label over closed neighborhood
         neighbor = (
@@ -98,4 +99,13 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        # silently returning partial labels would split real components
+        # (wrong keepers, unstable MERGE keys) with no signal; propagation
+        # needs O(diameter) rounds, so a long chain on a big graph can
+        # legitimately exceed the default
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds it); raise max_iter"
+        )
     return labels

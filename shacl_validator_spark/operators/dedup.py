@@ -100,6 +100,12 @@ def _banded_sigs(per_doc: DataFrame, num_perm: int, bands: int) -> DataFrame:
     collide).  Shared by the self-join (``minhash_lsh_pairs``) and the
     cross-corpus join (``dedup_against``) — both sides of an LSH join must
     hash with the SAME family for collisions to mean anything."""
+    if bands < 1 or num_perm < bands:
+        raise ValueError(
+            f"need 1 <= bands <= num_perm, got bands={bands} num_perm={num_perm} "
+            "(bands > num_perm would hash an EMPTY signature slice — every "
+            "doc collides in every band and the LSH join goes quadratic)"
+        )
     rows_per_band = num_perm // bands
     sig = F.array(*[f"h{j}" for j in range(num_perm)])
     return per_doc.select(

@@ -175,7 +175,11 @@ def link_mentions(
                 F.concat(F.lit("surface:"), F.lower(F.col("surface"))),
             ).alias("canonical_id"),
         )
-        .dropDuplicates(["surface", "ent_class"])
+        # min, not dropDuplicates: an ambiguous alias dict (one alias →
+        # two canonical ids) must resolve DETERMINISTICALLY or MERGE keys
+        # drift between runs
+        .groupBy("surface", "ent_class")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )
     return resolved
 

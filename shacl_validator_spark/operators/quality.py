@@ -48,6 +48,11 @@ def repetition_profile(
 
     Tokenization is lowercased whitespace splitting — the same contract as
     ``functions.text.token_count`` — so the two signals are comparable.
+
+    EVERY input document gets a row: empty/whitespace-only (or NULL) text
+    reports ``n_words = n_distinct = top_freq = 0`` with NULL ratios
+    (0/0 is undefined) — without the spine join, such docs would vanish
+    from the profile and bypass any repetition gate keyed on it.
     """
     extra = list(extra_cols or [])
     words = docs.select(
@@ -61,12 +66,13 @@ def repetition_profile(
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("_c").alias("top_freq"),
     )
-    return per_doc.select(
+    spine = docs.select(id_col, *extra).dropDuplicates([id_col])
+    return spine.join(per_doc, [id_col, *extra], "left").select(
         id_col,
         *extra,
-        "n_words",
-        "n_distinct",
-        "top_freq",
+        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+        F.coalesce("top_freq", F.lit(0).cast("long")).alias("top_freq"),
         (F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
         (F.col("top_freq") / F.col("n_words")).alias("top_frac"),
     )

@@ -119,6 +119,10 @@ FACET_FIELDS = [
     "max_inclusive",
     "min_exclusive",
     "max_exclusive",
+    "min_inclusive_ts",
+    "max_inclusive_ts",
+    "min_exclusive_ts",
+    "max_exclusive_ts",
     "less_than",
     "less_than_or_equals",
     "closed_allowed",
@@ -255,11 +259,18 @@ def _lexically_valid(dt: F.Column | None = None) -> F.Column:
     v = F.col("object_value")
     return (
         F.when(
-            dt.isin(XSD + "integer", XSD + "int", XSD + "long", XSD + "nonNegativeInteger"),
+            # value space check on top of the lexical cast: the XSD
+            # lexical+value space of nonNegativeInteger excludes negatives
+            dt == XSD + "nonNegativeInteger",
+            v.try_cast("long").isNotNull() & (v.try_cast("long") >= 0),
+        )
+        .when(
+            dt.isin(XSD + "integer", XSD + "int", XSD + "long"),
             v.try_cast("long").isNotNull(),
         )
         .when(dt.isin(XSD + "decimal", XSD + "double", XSD + "float"), v.try_cast("double").isNotNull())
-        .when(dt == XSD + "boolean", F.lower(v).isin("true", "false", "0", "1"))
+        # xsd:boolean's lexical space {true,false,0,1} is case-SENSITIVE
+        .when(dt == XSD + "boolean", v.isin("true", "false", "0", "1"))
         .when(dt == XSD + "dateTime", F.try_to_timestamp(v).isNotNull())
         .when(dt == XSD + "date", F.try_to_timestamp(v, F.lit("yyyy-MM-dd")).isNotNull())
         .otherwise(F.lit(True))
@@ -1170,24 +1181,51 @@ def _eval(
             & ~F.array_contains(F.col("in_list"), F.col("object_value")),
             "In",
         ),
+        # range facets: numeric OR temporal form (xsd:date/dateTime
+        # facets compile to the *_ts columns; a value that does not parse
+        # into the facet's domain violates, per SPARQL '<' semantics)
         _hit(
-            F.col("min_inclusive").isNotNull()
-            & (num.isNull() | (num < F.col("min_inclusive"))),
+            (
+                F.col("min_inclusive").isNotNull()
+                & (num.isNull() | (num < F.col("min_inclusive")))
+            )
+            | (
+                F.col("min_inclusive_ts").isNotNull()
+                & (v_ts.isNull() | (v_ts < F.to_timestamp(F.col("min_inclusive_ts"))))
+            ),
             "MinInclusive",
         ),
         _hit(
-            F.col("max_inclusive").isNotNull()
-            & (num.isNull() | (num > F.col("max_inclusive"))),
+            (
+                F.col("max_inclusive").isNotNull()
+                & (num.isNull() | (num > F.col("max_inclusive")))
+            )
+            | (
+                F.col("max_inclusive_ts").isNotNull()
+                & (v_ts.isNull() | (v_ts > F.to_timestamp(F.col("max_inclusive_ts"))))
+            ),
             "MaxInclusive",
         ),
         _hit(
-            F.col("min_exclusive").isNotNull()
-            & (num.isNull() | (num <= F.col("min_exclusive"))),
+            (
+                F.col("min_exclusive").isNotNull()
+                & (num.isNull() | (num <= F.col("min_exclusive")))
+            )
+            | (
+                F.col("min_exclusive_ts").isNotNull()
+                & (v_ts.isNull() | (v_ts <= F.to_timestamp(F.col("min_exclusive_ts"))))
+            ),
             "MinExclusive",
         ),
         _hit(
-            F.col("max_exclusive").isNotNull()
-            & (num.isNull() | (num >= F.col("max_exclusive"))),
+            (
+                F.col("max_exclusive").isNotNull()
+                & (num.isNull() | (num >= F.col("max_exclusive")))
+            )
+            | (
+                F.col("max_exclusive_ts").isNotNull()
+                & (v_ts.isNull() | (v_ts >= F.to_timestamp(F.col("max_exclusive_ts"))))
+            ),
             "MaxExclusive",
         ),
         # sh:languageIn: value must be a language-tagged literal whose tag

@@ -490,6 +490,35 @@ def _float_of(term: Term | None) -> float | None:
         return None
 
 
+# ISO xsd:date / xsd:dateTime lexical forms (the SPARQL-comparable temporal
+# domain the range facets support beyond numerics)
+_TS_LEX_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?$"
+)
+
+
+def _range_facet(
+    g: ParsedGraph, prop: str, name: str, ctx: _Ctx
+) -> tuple[float | None, str | None]:
+    """(numeric, temporal) form of sh:{name} — at most one is set.  A
+    facet literal that is neither numeric nor an ISO xsd:date/dateTime
+    WARNS instead of silently vanishing (the module contract: a compile
+    with zero warnings ran with nothing skipped)."""
+    t = g.first(prop, SH + name)
+    if t is None:
+        return None, None
+    num = _float_of(t)
+    if num is not None:
+        return num, None
+    if _TS_LEX_RE.match(t.value):
+        return None, t.value
+    ctx.warnings.append(
+        f"property {prop}: sh:{name} literal {t.value!r} is neither numeric "
+        "nor xsd:date/dateTime — facet skipped"
+    )
+    return None, None
+
+
 # Facet keys every constraint row carries (None when unset) — keep in sync
 # with model.CONSTRAINT_SCHEMA.
 _ROW_DEFAULTS = {
@@ -512,6 +541,10 @@ _ROW_DEFAULTS = {
     "max_inclusive": None,
     "min_exclusive": None,
     "max_exclusive": None,
+    "min_inclusive_ts": None,
+    "max_inclusive_ts": None,
+    "min_exclusive_ts": None,
+    "max_exclusive_ts": None,
     "less_than": None,
     "less_than_or_equals": None,
     "equals": None,
@@ -683,10 +716,16 @@ def _prop_constraints(
                 [t.value for t in g.rdf_list(in_t.value)] if in_t is not None else None
             ),
             "class_iri": cls_t.value if cls_t is not None else None,
-            "min_inclusive": _float_of(g.first(prop, SH + "minInclusive")),
-            "max_inclusive": _float_of(g.first(prop, SH + "maxInclusive")),
-            "min_exclusive": _float_of(g.first(prop, SH + "minExclusive")),
-            "max_exclusive": _float_of(g.first(prop, SH + "maxExclusive")),
+            **{
+                k: v
+                for name, nk, tk in (
+                    ("minInclusive", "min_inclusive", "min_inclusive_ts"),
+                    ("maxInclusive", "max_inclusive", "max_inclusive_ts"),
+                    ("minExclusive", "min_exclusive", "min_exclusive_ts"),
+                    ("maxExclusive", "max_exclusive", "max_exclusive_ts"),
+                )
+                for k, v in zip((nk, tk), _range_facet(g, prop, name, ctx))
+            },
             "unique_lang": (
                 True if ul_t is not None and ul_t.value == "true" else None
             ),
@@ -936,16 +975,45 @@ def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
     return rows
 
 
+_BNODE_REF_KEYS = {"shape_iri", "nested_under", "node_ref"}
+
+
+def _qualify_bnodes(obj, tag: str):
+    """Recursively rewrite blank-node SHAPE ids (``_:x`` → ``_:{tag}:x``)
+    in the reference-carrying fields of a constraint row.  Each file's
+    parse restarts its bnode counter at ``_:b1``, so without per-file
+    qualification two files' anonymous shapes alias each other and
+    ``nested_under``/``node_ref`` lookups cross file boundaries.  Only
+    shape-reference keys are rewritten — facet VALUES (in_list,
+    has_value) stay untouched."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k in _BNODE_REF_KEYS and isinstance(v, str) and v.startswith("_:"):
+                # '.' separator: stays a legal Turtle bnode label, so a
+                # qualified id can serialize as sh:sourceShape _:f0.b1
+                out[k] = f"_:{tag}." + v[2:]
+            else:
+                out[k] = _qualify_bnodes(v, tag)
+        return out
+    if isinstance(obj, list):
+        return [_qualify_bnodes(x, tag) for x in obj]
+    return obj
+
+
 def compile_shape_files(ttls: list[str], warnings: list[str] | None = None) -> list[dict]:
     """Union of several shape files into one constraint table (U1) — the
     reference unions parsed quad sets per profile
     (SHACLValidationService.ts:124-134); here the union is row concatenation
-    with re-numbered constraint ids (nested-shape references are by shape
-    id, so renumbering is safe)."""
+    with re-numbered constraint ids.  IRI shape references are global;
+    blank-node shape ids are FILE-SCOPED (each parse restarts its bnode
+    counter), so they are qualified with the file index before the union —
+    without that, ``_:b1`` from two files would alias and a ``sh:node``
+    reference in one file would pick up the other's definition rows."""
     rows: list[dict] = []
-    for ttl in ttls:
+    for i, ttl in enumerate(ttls):
         for r in compile_shapes(ttl, warnings):
-            r = dict(r)
+            r = _qualify_bnodes(dict(r), f"f{i}")
             r["constraint_id"] = len(rows) + 1
             rows.append(r)
     return rows

@@ -17,6 +17,8 @@ driver-side too); at scale the violations table itself is written with
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,23 @@ def _is_iri_like(s: str | None) -> bool:
     """Only IRI-ish paths/terms are serialized as IRIs — guard against the
     reference's '[object Object]' artifacts (SHACLValidationService.ts:505-509)."""
     return bool(s) and (s.startswith("http://") or s.startswith("https://") or ":" in s)
+
+
+# characters illegal inside <...>: controls/space and <>"{}|^`\ — percent-
+# encoded so a hostile IRI cannot break the serialization
+_IRI_BAD = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def _iri_escape(s: str) -> str:
+    return _IRI_BAD.sub(lambda m: "%%%02X" % ord(m.group()), s)
+
+
+def _node_ref(s: str) -> str:
+    """Render a node-position term: blank nodes as bare ``_:label`` (a
+    ``<_:b4>`` form is invalid Turtle), everything else as an escaped IRI."""
+    if s.startswith("_:"):
+        return "_:" + re.sub(r"[^0-9A-Za-z_.\-]", ".", s[2:])
+    return f"<{_iri_escape(s)}>"
 
 
 def report_to_turtle(
@@ -68,12 +87,16 @@ def report_to_turtle(
         out.append(f"_:r{i} a sh:ValidationResult ;")
         out.append(f"    sh:resultSeverity sh:{r.resultSeverity} ;")
         if r.focusNode:
-            if _is_iri_like(r.focusNode):
-                out.append(f"    sh:focusNode <{r.focusNode}> ;")
+            if r.focusNode.startswith("_:") or _is_iri_like(r.focusNode):
+                out.append(f"    sh:focusNode {_node_ref(r.focusNode)} ;")
             else:
                 out.append(f'    sh:focusNode "{_escape(r.focusNode)}" ;')
-        if r.resultPath and _is_iri_like(r.resultPath):
-            out.append(f"    sh:resultPath <{r.resultPath}> ;")
+        if (
+            r.resultPath
+            and not r.resultPath.startswith("_:")
+            and _is_iri_like(r.resultPath)
+        ):
+            out.append(f"    sh:resultPath <{_iri_escape(r.resultPath)}> ;")
         if r.value is not None:
             out.append(f'    sh:value "{_escape(r.value)}" ;')
         for m in r.message or []:
@@ -87,12 +110,14 @@ def report_to_turtle(
                     f'    sh:sourceConstraintComponent "{_escape(r.sourceConstraintComponent)}" ;'
                 )
         if r.sourceShape:
-            if r.sourceShape.startswith("http"):
-                out.append(f"    sh:sourceShape <{r.sourceShape}> ;")
+            if r.sourceShape.startswith("_:"):
+                out.append(f"    sh:sourceShape {_node_ref(r.sourceShape)} ;")
+            elif r.sourceShape.startswith("http"):
+                out.append(f"    sh:sourceShape <{_iri_escape(r.sourceShape)}> ;")
             else:
                 out.append(f'    sh:sourceShape "{_escape(r.sourceShape)}" ;')
         if getattr(r, "foafPage", None):
-            out.append(f"    foaf:page <{r.foafPage}> ;")
+            out.append(f"    foaf:page <{_iri_escape(r.foafPage)}> ;")
         out[-1] = out[-1].rstrip(" ;") + " ."
     return "\n".join(out) + "\n"
 

@@ -582,6 +582,10 @@ def customer_constraints() -> list[dict]:
             "max_inclusive": None,
             "min_exclusive": None,
             "max_exclusive": None,
+            "min_inclusive_ts": None,
+            "max_inclusive_ts": None,
+            "min_exclusive_ts": None,
+            "max_exclusive_ts": None,
             "less_than": None,
             "less_than_or_equals": None,
             "equals": None,

@@ -100,3 +100,18 @@ def test_cooccurrence_hot_group_guard(spark):
     got = {(r["src"], r["dst"]) for r in e.collect()}
     # the hot group is dropped entirely; g1 yields its 3 ordered pairs
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter propagation rounds must raise, not
+    silently return split components (distributed path forced)."""
+    import pytest
+
+    from shacl_validator_spark.operators.components import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(15)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3, small_graph_edges=0).collect()
+    ok = connected_components(edges, max_iter=20, small_graph_edges=0)
+    assert ok.select("component").distinct().count() == 1

@@ -429,3 +429,68 @@ def test_unsupported_or_branch_warns():
         warnings,
     )
     assert warnings and "unsupported" in warnings[0]
+
+
+def test_temporal_range_facets(spark):
+    """sh:minInclusive with an xsd:date literal (the DCAT-AP issued-date
+    idiom) compiles to the temporal facet column — no silent drop — and
+    evaluates with SPARQL '<' semantics; a non-comparable literal facet
+    WARNS instead of vanishing."""
+    from shacl_validator_spark.operators.validate import validate
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:issued ;
+        sh:minInclusive "2020-01-01"^^xsd:date ;
+        sh:maxExclusive "2025-01-01T00:00:00"^^xsd:dateTime ] .
+    """
+    warnings: list = []
+    rows = compile_shapes(ttl, warnings)
+    assert warnings == []
+    r = next(r for r in rows if r["min_inclusive_ts"])
+    assert r["min_inclusive_ts"] == "2020-01-01"
+    assert r["max_exclusive_ts"] == "2025-01-01T00:00:00"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    data = [
+        ("ex:ok", RDF_TYPE, "http://example.org/T", "iri", None, None, "g"),
+        ("ex:ok", "http://example.org/issued", "2022-06-01", "literal",
+         "http://www.w3.org/2001/XMLSchema#date", None, "g"),
+        ("ex:early", RDF_TYPE, "http://example.org/T", "iri", None, None, "g"),
+        ("ex:early", "http://example.org/issued", "2019-12-31", "literal",
+         "http://www.w3.org/2001/XMLSchema#date", None, "g"),
+        ("ex:late", RDF_TYPE, "http://example.org/T", "iri", None, None, "g"),
+        ("ex:late", "http://example.org/issued", "2025-01-01", "literal",
+         "http://www.w3.org/2001/XMLSchema#date", None, "g"),
+        ("ex:junk", RDF_TYPE, "http://example.org/T", "iri", None, None, "g"),
+        ("ex:junk", "http://example.org/issued", "not-a-date", "literal",
+         None, None, "g"),
+    ]
+    t = spark.createDataFrame(
+        data,
+        "subject string, predicate string, object_value string, "
+        "object_type string, object_datatype string, object_lang string, "
+        "graph string",
+    )
+    got = {
+        (r["focusNode"], r["sourceConstraintComponent"])
+        for r in validate(spark, t, rows).collect()
+    }
+    assert ("ex:ok", "sh:MinInclusiveConstraintComponent") not in got
+    assert any(f == "ex:early" and "MinInclusive" in c for f, c in got)
+    assert any(f == "ex:late" and "MaxExclusive" in c for f, c in got)
+    # non-parseable value violates BOTH bounds (not-in-domain rule)
+    assert sum(1 for f, _ in got if f == "ex:junk") == 2
+
+    bad = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:minInclusive "banana" ] .
+    """
+    w2: list = []
+    compile_shapes(bad, w2)
+    assert any("minInclusive" in w and "banana" in w for w in w2)

@@ -328,3 +328,44 @@ def test_deactivated_property_shape_skipped():
     )
     assert len(shapes) == 1
     assert shapes[0]["path"] == "http://example.org/s#age"
+
+
+def test_lexical_validity_value_space(spark):
+    """xsd:nonNegativeInteger excludes negatives; xsd:boolean's lexical
+    space {true,false,0,1} is case-sensitive — both must flag sh:datatype."""
+    from shacl_validator_spark.operators.validate import validate
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    EX = "http://example.org/"
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    ttl = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    @prefix xsd: <{XSD.rstrip('#')}#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:n ; sh:datatype xsd:nonNegativeInteger ] ;
+      sh:property [ sh:path ex:b ; sh:datatype xsd:boolean ] .
+    """
+    rows = compile_shapes(ttl)
+    data = [
+        ("ex:x", RDF_TYPE, EX + "T", "iri", None, None, "g"),
+        ("ex:x", EX + "n", "5", "literal", XSD + "nonNegativeInteger", None, "g"),
+        ("ex:x", EX + "b", "true", "literal", XSD + "boolean", None, "g"),
+        ("ex:y", RDF_TYPE, EX + "T", "iri", None, None, "g"),
+        ("ex:y", EX + "n", "-5", "literal", XSD + "nonNegativeInteger", None, "g"),
+        ("ex:y", EX + "b", "TRUE", "literal", XSD + "boolean", None, "g"),
+    ]
+    t = spark.createDataFrame(
+        data,
+        "subject string, predicate string, object_value string, "
+        "object_type string, object_datatype string, object_lang string, "
+        "graph string",
+    )
+    got = {
+        (r["focusNode"], r["value"])
+        for r in validate(spark, t, rows).collect()
+        if "Datatype" in r["sourceConstraintComponent"]
+    }
+    assert got == {("ex:y", "-5"), ("ex:y", "TRUE")}

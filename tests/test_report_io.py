@@ -115,3 +115,46 @@ def test_mime_alias_normalization():
     assert normalize_mime("text/csv") == "text/csv"  # pass-through
     assert detect_format("", content_type="rdf/xml") == "application/rdf+xml"
     assert detect_format("", content_type="jsonld; charset=utf-8") == "application/ld+json"
+
+
+def test_turtle_report_bnode_focus_round_trip(spark):
+    """Blank-node focus nodes serialize as bare _:label (a <_:b4> form is
+    invalid Turtle) and survive the S8 -> S11 round trip; hostile IRI chars
+    are percent-encoded inside <>."""
+    from shacl_validator_spark.model import VIOLATION_SCHEMA
+    from shacl_validator_spark.sources.report_io import (
+        parse_report_turtle,
+        report_to_turtle,
+    )
+
+    rows = [
+        {
+            "focusNode": "_:b4",
+            "resultPath": "http://example.org/p",
+            "value": "v",
+            "message": None,
+            "resultSeverity": "Violation",
+            "sourceConstraintComponent": "http://www.w3.org/ns/shacl#MinCountConstraintComponent",
+            "sourceShape": "_:f0.b2",
+            "foafPage": None,
+        },
+        {
+            "focusNode": "http://example.org/weird iri>",
+            "resultPath": "http://example.org/p",
+            "value": "v2",
+            "message": None,
+            "resultSeverity": "Warning",
+            "sourceConstraintComponent": "http://www.w3.org/ns/shacl#PatternConstraintComponent",
+            "sourceShape": "http://example.org/S",
+            "foafPage": None,
+        },
+    ]
+    df = spark.createDataFrame(rows, VIOLATION_SCHEMA)
+    ttl = report_to_turtle(df, conforms=False)
+    assert "sh:focusNode _:b4" in ttl and "<_:" not in ttl
+    assert "sh:sourceShape _:f0.b2" in ttl
+    assert "weird%20iri%3E" in ttl
+    conforms, back = parse_report_turtle(spark, ttl)
+    got = {r["focusNode"] for r in back.collect()}
+    assert not conforms
+    assert "_:b4" in got

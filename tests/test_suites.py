@@ -86,3 +86,44 @@ def test_nti_suite_dir3_pattern(spark):
         if r.sourceConstraintComponent == SH + "PatternConstraintComponent"
     ]
     assert pat and pat[0].value == "https://example.org/some-org"
+
+
+def test_multi_file_bnode_shapes_do_not_alias(spark):
+    """Two files each with an anonymous (_:b1) nested shape: the sh:node
+    reference in file A must resolve to file A's definition only — without
+    per-file qualification both files' rows alias and B's pattern leaks
+    into A's nested pass."""
+    from shacl_validator_spark.operators.validate import validate
+    from shacl_validator_spark.shapes.compiler import compile_shape_files
+
+    file_a = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:AShape a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:property [ sh:path ex:ref ; sh:node [ sh:property [
+        sh:path ex:name ; sh:minCount 1 ] ] ] .
+    """
+    file_b = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:BShape a sh:NodeShape ; sh:targetClass ex:B ;
+      sh:property [ sh:path ex:code ; sh:node [ sh:property [
+        sh:path ex:name ; sh:pattern "^B" ] ] ] .
+    """
+    rows = compile_shape_files([file_a, file_b])
+    data = [
+        ("ex:a1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://example.org/A", "iri", None, None, "g"),
+        ("ex:a1", "http://example.org/ref", "ex:v1", "iri", None, None, "g"),
+        # v1 HAS a name (satisfies A's nested minCount) but the name does
+        # NOT match B's ^B pattern — a leak would flag it
+        ("ex:v1", "http://example.org/name", "alpha", "literal", None, None, "g"),
+    ]
+    t = spark.createDataFrame(
+        data,
+        "subject string, predicate string, object_value string, "
+        "object_type string, object_datatype string, object_lang string, "
+        "graph string",
+    )
+    viols = validate(spark, t, rows).collect()
+    assert viols == [], [r.asDict() for r in viols]
