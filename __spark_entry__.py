@@ -3842,7 +3842,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         urls AS (
           SELECT doc_id, raw_url, norm_url,
-                 regexp_extract(norm_url, '^[a-z][a-z0-9+.\\-]*://([^/:?@]+)', 1) AS host
+                 -- mirrors host_of: optional userinfo consumed before the
+                 -- host capture, '#' excluded from the class
+                 regexp_extract(norm_url,
+                   '^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?@#]+)', 1) AS host
           FROM norm
         )
     """

@@ -450,6 +450,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.9,
+    cc_max_iter: int = 10,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-duplicate CONSOLIDATION: MinHash-LSH pairs → connected
@@ -521,7 +522,8 @@ def near_dup_clusters(
     # non-negative (a '-' breaks lexicographic==numeric order)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")  # noqa: E731
     labels = connected_components(
-        pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+        pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst")),
+        max_iter=cc_max_iter,
     ).select(
         F.col("node").cast("long").alias("_rep"),
         F.col("component").cast("long").alias("_label"),

@@ -112,7 +112,13 @@ def _link_small(
 ) -> list[tuple[str, str, str]]:
     """Driver-side mirror of exact-dict + Jaccard linking (same semantics:
     distance < threshold, best candidate = min (dist, canonical_id))."""
-    adict = {a: c for a, c in alias_rows}
+    # min canonical id wins for an ambiguous alias — MUST match the
+    # distributed path's F.min resolution or crossing the small-set
+    # threshold would flip canonical ids (MERGE-key drift)
+    adict: dict[str, str] = {}
+    for a, c in alias_rows:
+        if a not in adict or c < adict[a]:
+            adict[a] = c
     cand = [(a, c, _shingles(a)) for a, c in alias_rows]
     out = []
     for surface, ent_class in rows:

@@ -57,17 +57,20 @@ def repetition_profile(
     extra = list(extra_cols or [])
     words = docs.select(
         id_col,
-        *extra,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_w"),
     ).filter(F.col("_w") != "")
-    per_word = words.groupBy(id_col, *extra, "_w").agg(F.count(F.lit(1)).alias("_c"))
-    per_doc = per_word.groupBy(id_col, *extra).agg(
+    per_word = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_word.groupBy(id_col).agg(
         F.sum("_c").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("_c").alias("top_freq"),
     )
+    # extras come from the spine ONLY (they are functionally dependent on
+    # the doc id), and the join keys on the id alone — joining on the
+    # extras too would need null-safe equality (a NULL lang would orphan
+    # its doc's real counts)
     spine = docs.select(id_col, *extra).dropDuplicates([id_col])
-    return spine.join(per_doc, [id_col, *extra], "left").select(
+    return spine.join(per_doc, [id_col], "left").select(
         id_col,
         *extra,
         F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),

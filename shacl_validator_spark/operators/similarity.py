@@ -317,6 +317,7 @@ def semantic_dedup(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cc_max_iter: int = 10,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings whose cosine
     similarity exceeds ``threshold`` and keep one representative per
@@ -353,7 +354,8 @@ def semantic_dedup(
     # non-negative (a '-' breaks lexicographic==numeric order)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")  # noqa: E731
     labels = connected_components(
-        edges.select(pad("src").alias("src"), pad("dst").alias("dst"))
+        edges.select(pad("src").alias("src"), pad("dst").alias("dst")),
+        max_iter=cc_max_iter,
     ).select(
         F.col("node").cast("long").alias("_id"),
         F.col("component").cast("long").alias("_label"),

@@ -497,6 +497,22 @@ _TS_LEX_RE = re.compile(
 )
 
 
+def _ts_parses(lex: str) -> bool:
+    """Field-range check on top of the digit-shape regex: '2020-13-45'
+    must WARN, not compile into an inert facet whose to_timestamp yields
+    NULL (or throws under ANSI) at evaluation."""
+    import datetime as _dt
+
+    try:
+        if "T" in lex:
+            _dt.datetime.fromisoformat(lex.replace("Z", "+00:00"))
+        else:
+            _dt.date.fromisoformat(lex)
+        return True
+    except ValueError:
+        return False
+
+
 def _range_facet(
     g: ParsedGraph, prop: str, name: str, ctx: _Ctx
 ) -> tuple[float | None, str | None]:
@@ -510,7 +526,7 @@ def _range_facet(
     num = _float_of(t)
     if num is not None:
         return num, None
-    if _TS_LEX_RE.match(t.value):
+    if _TS_LEX_RE.match(t.value) and _ts_parses(t.value):
         return None, t.value
     ctx.warnings.append(
         f"property {prop}: sh:{name} literal {t.value!r} is neither numeric "

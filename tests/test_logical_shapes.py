@@ -494,3 +494,20 @@ def test_temporal_range_facets(spark):
     w2: list = []
     compile_shapes(bad, w2)
     assert any("minInclusive" in w and "banana" in w for w in w2)
+
+
+def test_out_of_range_temporal_facet_warns(spark):
+    """'2020-13-45' passes the digit-shape regex but is no calendar date —
+    it must WARN at compile, not become an inert facet."""
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:minInclusive "2020-13-45" ] .
+    """
+    w: list = []
+    rows = compile_shapes(ttl, w)
+    assert any("minInclusive" in x and "2020-13-45" in x for x in w)
+    assert all(r["min_inclusive_ts"] is None for r in rows)

@@ -457,3 +457,18 @@ def test_quantile_gate_negative_values_keep_guarantee(spark):
     kept = quantile_gate(df, "v", 20, ["g"], bin_width=64).collect()
     # threshold lands at bin 0 -> everything passes (>= 80% guaranteed)
     assert len(kept) == 4
+
+
+def test_repetition_profile_null_extra_col(spark):
+    """A NULL value in an extra_col must not orphan the doc's real counts
+    (the spine join keys on the id alone)."""
+    from shacl_validator_spark.operators.quality import repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam", None), (2, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(docs, extra_cols=["lang"]).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["top_freq"] == 3
+    assert out[1]["lang"] is None
+    assert out[2]["n_words"] == 3 and out[2]["n_distinct"] == 3
