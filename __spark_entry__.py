@@ -1093,6 +1093,18 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(_docs(spark, sf_dir).select("doc_id", "text"), 8)
 
 
+def q_key_skew_profile(spark, sf_dir):
+    """Heavy-hitter skew report (operators/quality.py key_skew_profile)
+    for events.user_id — the diagnostic run before shuffling on a key:
+    top-10 hottest users with count/share/rank plus relation-wide
+    key/row totals.  One map-side-combined agg + one-row broadcast +
+    TakeOrdered."""
+    from shacl_validator_spark.operators.quality import key_skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(ev, "user_id", k=10)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     """Per-source delivery datasheet (operators/quality.py
     corpus_datasheet): docs/tokens/bytes, distinct languages, exact-dup
@@ -1809,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "shard_manifest": q_shard_manifest,
         "corpus_datasheet": q_corpus_datasheet,
+        "key_skew_profile": q_key_skew_profile,
         "bpe_encode": q_bpe_encode,
         "markdown_preprocess": q_markdown_preprocess,
         "bm25_rank": q_bm25_rank,
@@ -3070,6 +3083,18 @@ def oracle_sql() -> dict[str, str]:
                                       AS UBIGINT) AS BIGINT)) AS BIGINT)
                    AS content_xor
         FROM s GROUP BY shard
+    """
+
+    sql["key_skew_profile"] = """
+        WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        t AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows FROM c)
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               ROUND(n * 1.0 / n_rows, 6) AS frac,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INT) AS rank,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM c, t
+        ORDER BY n DESC, user_id LIMIT 10
     """
 
     sql["corpus_datasheet"] = f"""

@@ -716,3 +716,47 @@ def corpus_datasheet(
             "dup_docs", (F.col("n_docs") - F.col("n_unique_texts")).cast("long")
         )
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter skew report for a prospective shuffle/join key: the
+    top-``k`` hottest key values with their row counts, global share, and
+    rank, plus the relation-wide ``n_keys``/``n_rows`` context on every
+    row.  THE diagnostic to run before shuffling 100 TB on a key — a
+    ``max_frac`` near 1/parallelism means the hot key alone caps the
+    stage, and the answer is salting (``linking.salted_count``), AQE
+    skew-join splitting, or a broadcast reformulation.
+
+    Output: ``(key_col, n, frac, rank, n_keys, n_rows)``, rank by count
+    desc then key asc (deterministic), ``frac`` rounded to 6 decimals.
+
+    Scale notes (100 TB): ONE hash aggregation on the key (map-side
+    combined — the hot key is one row per task before the shuffle); the
+    totals are a one-row aggregate of the key-count relation broadcast
+    back (BroadcastNestedLoopJoin of 1 row); the top-k is
+    orderBy+limit — TakeOrderedAndProject, never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n"), F.col(key_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n"), F.col(key_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        key_col,
+        "n",
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("frac"),
+        "rank",
+        "n_keys",
+        "n_rows",
+    )

@@ -472,3 +472,19 @@ def test_repetition_profile_null_extra_col(spark):
     assert out[1]["n_words"] == 3 and out[1]["top_freq"] == 3
     assert out[1]["lang"] is None
     assert out[2]["n_words"] == 3 and out[2]["n_distinct"] == 3
+
+
+def test_key_skew_profile_hand_math(spark):
+    from shacl_validator_spark.operators.quality import key_skew_profile
+
+    rows = [(i, "hot") for i in range(6)] + [(10, "a"), (11, "a"), (12, "b")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = {r["rank"]: r for r in key_skew_profile(df, "k", k=2).collect()}
+    assert out[1]["k"] == "hot" and out[1]["n"] == 6
+    assert out[1]["frac"] == round(6 / 9, 6)
+    assert out[2]["k"] == "a" and out[2]["n"] == 2
+    assert out[1]["n_keys"] == 3 and out[1]["n_rows"] == 9
+    import pytest
+
+    with pytest.raises(ValueError):
+        key_skew_profile(df, "k", k=0)
