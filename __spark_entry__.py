@@ -1544,6 +1544,58 @@ def q_url_format_detection(spark, sf_dir):
     return df.select("id", "url", extract_format_from_url(F.col("url")).alias("fmt"))
 
 
+def q_ntriples_roundtrip(spark, sf_dir):
+    """S5/S6 scale path (sources/ntriples.py): derive deterministic triples
+    from the nation table — an IRI object, a lang-tagged literal, a typed
+    literal, and a plain literal salted with every string escape (newline,
+    quote, tab, backslash) — serialize them with the distributed N-Triples
+    sink and re-parse with the distributed reader (spark.read.text + JVM
+    regex, no Python).  The oracle reconstructs the expected relation
+    straight from the nation view, so an escape/typing bug in EITHER
+    direction of the round-trip breaks the value hash."""
+    from shacl_validator_spark.model import XSD
+    from shacl_validator_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    subj = F.concat(F.lit("http://ex.org/nation/"), F.col("n_nationkey").cast("string"))
+    esc_comment = F.concat(F.lit('L1\n"'), F.col("n_name"), F.lit('"\t\\'))
+    nullstr = F.lit(None).cast("string")
+
+    def _po(pred, val, otype, dtype, lang):
+        return F.struct(
+            F.lit(pred).alias("predicate"),
+            val.alias("object_value"),
+            F.lit(otype).alias("object_type"),
+            dtype.alias("object_datatype"),
+            lang.alias("object_lang"),
+        )
+
+    t = n.select(
+        subj.alias("subject"),
+        F.explode(
+            F.array(
+                _po("http://ex.org/name", F.col("n_name"), "literal", nullstr, F.lit("en")),
+                _po("http://ex.org/comment", esc_comment, "literal", F.lit(XSD + "string"), nullstr),
+                _po("http://ex.org/key", F.col("n_nationkey").cast("string"), "literal", F.lit(XSD + "integer"), nullstr),
+                _po(
+                    "http://ex.org/region",
+                    F.concat(F.lit("http://ex.org/region/"), F.col("n_regionkey").cast("string")),
+                    "iri",
+                    nullstr,
+                    nullstr,
+                ),
+            )
+        ).alias("_po"),
+    ).select("subject", "_po.*").withColumn("graph", nullstr)
+
+    path = tempfile.mkdtemp(prefix="kg_ntrt_") + "/nt"
+    write_ntriples(t, path, mode="overwrite")
+    return read_ntriples(spark, path).select(
+        "subject", "predicate", "object_value", "object_type",
+        "object_datatype", "object_lang",
+    )
+
+
 def q_rdf_stats(spark, sf_dir):
     # A1: distinct-subject counts by rdf:type (reference ValidatorInput.tsx:156-189)
     t = nation_dcat_triples(spark, sf_dir)
@@ -1854,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compatible_distributions": q_compatible_distributions,
         "format_normalization": q_format_normalization,
         "url_format_detection": q_url_format_detection,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
         "rdf_stats": q_rdf_stats,
         "jsonld_pivot": q_jsonld_pivot,
         "compact_predicates": q_compact_predicates,
@@ -3530,6 +3583,40 @@ def oracle_sql() -> dict[str, str]:
             THEN 'json'
             ELSE 'unknown' END AS fmt
         FROM cases
+    """
+
+    sql["ntriples_roundtrip"] = """
+        SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subject,
+               'http://ex.org/name' AS predicate,
+               n_name AS object_value,
+               'literal' AS object_type,
+               CAST(NULL AS VARCHAR) AS object_datatype,
+               'en' AS object_lang
+        FROM nation
+        UNION ALL
+        SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR),
+               'http://ex.org/comment',
+               'L1' || chr(10) || '"' || n_name || '"' || chr(9) || '\\',
+               'literal',
+               'http://www.w3.org/2001/XMLSchema#string',
+               NULL
+        FROM nation
+        UNION ALL
+        SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR),
+               'http://ex.org/key',
+               CAST(n_nationkey AS VARCHAR),
+               'literal',
+               'http://www.w3.org/2001/XMLSchema#integer',
+               NULL
+        FROM nation
+        UNION ALL
+        SELECT 'http://ex.org/nation/' || CAST(n_nationkey AS VARCHAR),
+               'http://ex.org/region',
+               'http://ex.org/region/' || CAST(n_regionkey AS VARCHAR),
+               'iri',
+               NULL,
+               NULL
+        FROM nation
     """
 
     sql["rdf_stats"] = """

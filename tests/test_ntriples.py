@@ -1,0 +1,145 @@
+"""Distributed N-Triples/N-Quads source + sink (S5/S6 scale path) and the
+remote-fetch seam: parse fidelity vs the Turtle parser, escape round-trip,
+strict-mode error surfacing, quad labels, and the file:// fetch workflow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_validator_spark.sources.fetch import fetch_document, triples_from_url
+from shacl_validator_spark.sources.ntriples import (
+    ntriples_lines,
+    read_ntriples,
+    write_ntriples,
+)
+from shacl_validator_spark.sources.rdf_io import triples_from_turtle
+
+NT = """\
+# a comment line
+
+<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o1> .
+<http://ex.org/s1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .
+_:b0 <http://ex.org/p> "plain" .
+<http://ex.org/s2> <http://ex.org/label> "hola"@es-MX .
+<http://ex.org/s2> <http://ex.org/n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/s3> <http://ex.org/esc> "line1\\nline2\\t\\"q\\" back\\\\slash" .
+"""
+
+# the same content as Turtle (escapes spelled the Turtle way)
+TTL = """
+@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:s1 ex:p ex:o1 ; a ex:T .
+_:b0 ex:p "plain" .
+ex:s2 <http://ex.org/label> "hola"@es-MX ;
+      ex:n "42"^^xsd:integer .
+ex:s3 ex:esc "line1\\nline2\\t\\"q\\" back\\\\slash" .
+"""
+
+
+def _canon(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "subject", "predicate", "object_value", "object_type",
+            "object_datatype", "object_lang",
+        ).collect()
+    )
+
+
+def test_read_matches_turtle_parser(spark, tmp_path):
+    p = tmp_path / "doc.nt"
+    p.write_text(NT, encoding="utf-8")
+    got = read_ntriples(spark, str(p))
+    want = triples_from_turtle(spark, TTL)
+    assert _canon(got) == _canon(want)
+    # plain literal carries xsd:string, lang literal carries lowered tag
+    rows = {r.object_value: r for r in got.collect()}
+    assert rows["plain"].object_datatype.endswith("#string")
+    assert rows["hola"].object_lang == "es-mx" and rows["hola"].object_datatype is None
+    assert rows['line1\nline2\t"q" back\\slash'].object_type == "literal"
+
+
+def test_roundtrip_write_read(spark, tmp_path):
+    p = tmp_path / "doc.nt"
+    p.write_text(NT, encoding="utf-8")
+    orig = read_ntriples(spark, str(p))
+    out = str(tmp_path / "out_nt")
+    write_ntriples(orig, out)
+    back = read_ntriples(spark, out)
+    assert _canon(back) == _canon(orig)
+
+
+def test_quads_label_and_default_graph(spark, tmp_path):
+    p = tmp_path / "doc.nq"
+    p.write_text(
+        "<http://ex.org/s> <http://ex.org/p> \"v\" <http://ex.org/g1> .\n"
+        "<http://ex.org/s> <http://ex.org/p2> \"w\" .\n",
+        encoding="utf-8",
+    )
+    df = read_ntriples(spark, str(p), graph="http://src.example/doc")
+    by_pred = {r.predicate: r.graph for r in df.collect()}
+    # explicit quad label wins; triple-line falls back to the stamp
+    assert by_pred["http://ex.org/p"] == "http://ex.org/g1"
+    assert by_pred["http://ex.org/p2"] == "http://src.example/doc"
+    # quad-form serialization round-trips the labels
+    out = str(p) + ".rt"
+    write_ntriples(df, out, quads=True)
+    back = read_ntriples(spark, out)
+    assert {r.predicate: r.graph for r in back.collect()} == by_pred
+
+
+def test_strict_raises_lazily_permissive_filters(spark, tmp_path):
+    p = tmp_path / "bad.nt"
+    p.write_text(
+        "<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .\n"
+        "this is not a triple\n",
+        encoding="utf-8",
+    )
+    # plan builds fine; the error surfaces at scan time
+    df = read_ntriples(spark, str(p))
+    with pytest.raises(Exception, match="unparseable"):
+        df.collect()
+    ok = read_ntriples(spark, str(p), strict=False)
+    assert ok.count() == 1
+
+
+def test_set_semantics_and_opt_out(spark, tmp_path):
+    p = tmp_path / "dup.nt"
+    line = '<http://ex.org/s> <http://ex.org/p> "v" .\n'
+    p.write_text(line * 3, encoding="utf-8")
+    assert read_ntriples(spark, str(p)).count() == 1
+    assert read_ntriples(spark, str(p), distinct=False).count() == 3
+
+
+def test_lines_are_plain_column_plan(spark, tmp_path):
+    """Serialization must stay JVM-side: no Python eval nodes in the plan."""
+    p = tmp_path / "doc.nt"
+    p.write_text(NT, encoding="utf-8")
+    plan = ntriples_lines(
+        read_ntriples(spark, str(p))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fetch_file_url_turtle_and_nt(spark, tmp_path):
+    ttl = tmp_path / "cat.ttl"
+    ttl.write_text(TTL, encoding="utf-8")
+    nt = tmp_path / "cat.nt"
+    nt.write_text(NT, encoding="utf-8")
+    df_ttl = triples_from_url(spark, f"file://{ttl}")
+    df_nt = triples_from_url(spark, f"file://{nt}")
+    assert _canon(df_ttl) == _canon(df_nt)
+    # provenance stamp = source url
+    assert df_ttl.select("graph").distinct().collect()[0][0] == f"file://{ttl}"
+    text, _ = fetch_document(f"file://{ttl}")
+    assert "ex:s1" in text
+
+
+def test_fetch_max_bytes_guard(tmp_path):
+    big = tmp_path / "big.ttl"
+    big.write_text("#" + "x" * 1024, encoding="utf-8")
+    with pytest.raises(ValueError, match="max_bytes"):
+        fetch_document(f"file://{big}", max_bytes=100)
