@@ -44,24 +44,23 @@ _STMT_RE = (
     r"[ \t]*\.[ \t]*$"
 )
 
-# Sentinel for the two-phase backslash decode: a code point that cannot
-# appear in conformant N-Triples (the grammar forbids raw control chars
-# inside literals; U+0000 additionally never survives real RDF toolchains).
-_SENTINEL = "\x00"
-
-
 def _unescape(col: Column) -> Column:
-    """Decode the five N-Triples string escapes, JVM-side.
+    r"""Decode the five N-Triples string escapes, JVM-side and
+    collision-free: split on ``\\`` (the escaped backslash) first, decode
+    the four single-char escapes inside each segment — where no ``\\``
+    can remain, so ``\\n`` correctly decodes to backslash + 'n', not a
+    newline — and rejoin with a literal backslash.  No in-band sentinel:
+    any code point, including U+0000, round-trips."""
 
-    ``\\\\`` is routed through a sentinel first so ``\\\\n`` decodes to
-    backslash + 'n', not to a newline (the classic ordering bug of chained
-    replaces)."""
-    c = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
-    c = F.replace(c, F.lit('\\"'), F.lit('"'))
-    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
-    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
-    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
-    return F.replace(c, F.lit(_SENTINEL), F.lit("\\"))
+    def _seg(seg: Column) -> Column:
+        s = F.replace(seg, F.lit('\\"'), F.lit('"'))
+        s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+        s = F.replace(s, F.lit("\\r"), F.lit("\r"))
+        return F.replace(s, F.lit("\\t"), F.lit("\t"))
+
+    # regex '\\\\\\\\' = two literal backslashes; limit -1 keeps trailing
+    # empty segments so a terminal escaped backslash survives the rejoin
+    return F.array_join(F.transform(F.split(col, "\\\\\\\\", -1), _seg), "\\")
 
 
 def _escape(col: Column) -> Column:

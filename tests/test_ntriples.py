@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from shacl_validator_spark.sources.fetch import fetch_document, triples_from_url
@@ -122,6 +124,43 @@ def test_lines_are_plain_column_plan(spark, tmp_path):
         read_ntriples(spark, str(p))
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+_lit_text = st.text(
+    # full BMP + astral, incl. quotes/backslashes/newlines/controls/U+0000 —
+    # the decode is collision-free by construction (no in-band sentinel);
+    # only surrogates are excluded (not encodable to UTF-8 at all)
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@given(vals=st.lists(_lit_text, min_size=1, max_size=8))
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "25")),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_property_literal_roundtrip(spark, tmp_path_factory, vals):
+    """Any literal lexical form survives serialize → parse bit-exactly."""
+    df = spark.createDataFrame(
+        [
+            ("http://ex.org/s", f"http://ex.org/p{i}", v, "literal", None, None, None)
+            for i, v in enumerate(vals)
+        ],
+        "subject string, predicate string, object_value string, object_type string, "
+        "object_datatype string, object_lang string, graph string",
+    )
+    out = str(tmp_path_factory.mktemp("ntprop"))
+    write_ntriples(df, out, mode="overwrite")
+    got = {
+        (r.predicate, r.object_value)
+        for r in read_ntriples(spark, out, distinct=False).collect()
+    }
+    assert got == {(f"http://ex.org/p{i}", v) for i, v in enumerate(vals)}
 
 
 def test_fetch_file_url_turtle_and_nt(spark, tmp_path):
