@@ -105,7 +105,21 @@ def read_ntriples(
       SHACLValidationService.ts:174-176) — one hash-shuffle; pass False
       when a downstream stage dedups anyway (e.g. the pipeline MERGE).
     """
-    lines = spark.read.text(path)
+    return parse_ntriples(
+        spark.read.text(path), graph=graph, strict=strict, distinct=distinct
+    )
+
+
+def parse_ntriples(
+    lines: DataFrame,
+    graph: str | None = None,
+    strict: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """Grammar core shared by the batch reader and the streaming source:
+    a single-string-column relation (``value``) → TRIPLE_SCHEMA.  Pure
+    column expressions, so it lifts to a ``readStream.text`` input
+    unchanged (streaming/stream.py:ntriples_stream)."""
     content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#.*)?$"))
 
     s = F.regexp_extract("value", _STMT_RE, 1)
@@ -218,4 +232,4 @@ def write_ntriples(df: DataFrame, path: str, quads: bool = False, mode: str = "e
     ntriples_lines(df, quads=quads).write.mode(mode).text(path)
 
 
-__all__ = ["read_ntriples", "ntriples_lines", "write_ntriples"]
+__all__ = ["read_ntriples", "parse_ntriples", "ntriples_lines", "write_ntriples"]

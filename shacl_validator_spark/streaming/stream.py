@@ -45,3 +45,77 @@ def validated_stream_writer(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def ntriples_stream(
+    spark: SparkSession, landing_dir: str, graph: str | None = None
+) -> DataFrame:
+    """Streaming N-Triples/N-Quads source over a landing directory — the
+    continuous-ingestion form of ``sources/ntriples.read_ntriples``: new
+    dump files dropped into ``landing_dir`` become triple micro-batches.
+
+    The grammar core is pure column expressions, so it lifts to
+    ``readStream.text`` unchanged; distinct is off (streams cannot
+    arbitrarily dropDuplicates — set semantics come from the MERGE's
+    key anti-join downstream)."""
+    from ..sources.ntriples import parse_ntriples
+
+    return parse_ntriples(
+        spark.readStream.text(landing_dir), graph=graph, distinct=False
+    )
+
+
+def validated_triples_stream_writer(
+    spark: SparkSession,
+    triples_stream: DataFrame,
+    out_dir: str,
+    constraint_rows: list[dict],
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+):
+    """Per-micro-batch validate → conformant-filter → idempotent MERGE for
+    a streaming TRIPLE source (pair with ``ntriples_stream``): the
+    dump-ingestion counterpart of ``validated_stream_writer``'s pages
+    path.  Exactly-once carries over from MERGE-key idempotence — a
+    replayed batch inserts nothing — and the violations relation is
+    appended per epoch as the report output."""
+    import os
+
+    from ..model import SEVERITY_VIOLATION
+    from ..operators.validate import validate
+    from ..plans.merge import merge_triples
+
+    from pyspark.sql import functions as F
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # materialize the parsed batch once: validate() is a multi-consumer
+        # plan (targets scan, value stream, typed set) and must not re-run
+        # the text parse per consumer (same scratch-table contract as the
+        # batch pipeline)
+        scratch = os.path.join(out_dir, "scratch", f"epoch={epoch_id}")
+        batch_df.dropDuplicates().write.mode("overwrite").parquet(scratch)
+        batch = spark.read.parquet(scratch)
+        violations = validate(spark, batch, constraint_rows)
+        report_path = os.path.join(out_dir, "reports", f"epoch={epoch_id}")
+        violations.write.mode("overwrite").parquet(report_path)
+        v = spark.read.parquet(report_path)
+        bad_focus = F.broadcast(
+            v.filter(F.col("resultSeverity") == SEVERITY_VIOLATION)
+            .select(F.col("focusNode").alias("subject"))
+            .dropDuplicates()
+        )
+        conformant = batch.join(bad_focus, "subject", "left_anti")
+        merge_triples(
+            spark,
+            os.path.join(out_dir, "triples"),
+            conformant,
+            n_buckets=n_buckets,
+        )
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    writer = triples_stream.writeStream.foreachBatch(per_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

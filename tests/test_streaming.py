@@ -135,3 +135,58 @@ def test_dedup_stream_first_seen_only(spark, tmp_path):
     assert len(hashes) == 2
     assert {r["doc_id"] for r in got} & {1, 2, 4}
     assert 3 in {r["doc_id"] for r in got}
+
+
+def test_ntriples_stream_validate_merge(spark, tmp_path):
+    """Streaming dump ingestion: NT files land → parse (JVM grammar) →
+    validate → conformant-only MERGE; re-delivered content inserts nothing
+    (MERGE-key idempotence)."""
+    from shacl_validator_spark.streaming.stream import (
+        ntriples_stream,
+        validated_triples_stream_writer,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "nt_out")
+    ckpt = str(tmp_path / "nt_ckpt")
+    nt = (
+        "<http://ex.org/good> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .\n"
+        '<http://ex.org/good> <http://ex.org/name> "ok" .\n'
+        "<http://ex.org/bad> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .\n"
+    )
+    (landing / "a.nt").write_text(nt, encoding="utf-8")
+    rows = [
+        {
+            "constraint_id": 1,
+            "shape_iri": "ex:TShape",
+            "target_class": "http://ex.org/T",
+            "path": "http://ex.org/name",
+            "path_steps": [["http://ex.org/name"]],
+            "min_count": 1,
+            "severity": "Violation",
+        }
+    ]
+    stream = ntriples_stream(spark, str(landing), graph="http://src.example/dump")
+    q = (
+        validated_triples_stream_writer(spark, stream, out, rows, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = spark.read.parquet(f"{out}/triples")
+    subs = {r.subject for r in merged.select("subject").dropDuplicates().collect()}
+    assert subs == {"http://ex.org/good"}  # violating focus filtered out
+    n1 = merged.count()
+    reports = spark.read.parquet(f"{out}/reports/epoch=0")
+    assert reports.count() == 1 and reports.collect()[0].focusNode == "http://ex.org/bad"
+
+    # re-deliver the same content as a NEW file: new offsets, zero inserts
+    (landing / "b.nt").write_text(nt, encoding="utf-8")
+    q2 = (
+        validated_triples_stream_writer(spark, stream, out, rows, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/triples").count() == n1
