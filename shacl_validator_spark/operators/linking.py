@@ -114,7 +114,10 @@ def _link_small(
     distance < threshold, best candidate = min (dist, canonical_id))."""
     # min canonical id wins for an ambiguous alias — MUST match the
     # distributed path's F.min resolution or crossing the small-set
-    # threshold would flip canonical ids (MERGE-key drift)
+    # threshold would flip canonical ids (MERGE-key drift).  Rows with a
+    # NULL alias or canonical are skipped, mirroring F.min's NULL-ignoring
+    # aggregation (a None here would otherwise TypeError on the compare).
+    alias_rows = [(a, c) for a, c in alias_rows if a is not None and c is not None]
     adict: dict[str, str] = {}
     for a, c in alias_rows:
         if a not in adict or c < adict[a]:

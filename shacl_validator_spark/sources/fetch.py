@@ -56,7 +56,12 @@ def fetch_document(
         if len(raw) > max_bytes:
             raise ValueError(f"document at {url} exceeds max_bytes={max_bytes}")
         ctype = resp.headers.get("Content-Type") if resp.headers else None
-    return raw.decode("utf-8"), ctype
+    # honor the response charset (e.g. 'text/turtle; charset=iso-8859-1')
+    # like the reference's browser fetch does; default UTF-8 per RDF specs
+    charset = "utf-8"
+    if ctype and "charset=" in ctype.lower():
+        charset = ctype.lower().split("charset=", 1)[1].split(";")[0].strip() or "utf-8"
+    return raw.decode(charset), ctype
 
 
 def triples_from_url(
@@ -83,12 +88,17 @@ def triples_from_url(
         # reuse the ONE N-Triples grammar (ntriples.py) — spill the fetched
         # text to scratch and read it distributed; parsed rows carry the
         # source url on triple-lines, quad labels win (N-Quads semantics)
-        import tempfile as _tf
+        import atexit
         import os as _os
+        import shutil as _shutil
+        import tempfile as _tf
 
         from .ntriples import read_ntriples
 
+        # the scratch file must outlive the returned (lazy) DataFrame —
+        # cleaned at interpreter exit, not per call
         d = _tf.mkdtemp(prefix="kg_fetch_")
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
         p = _os.path.join(d, "doc.nt")
         with open(p, "w", encoding="utf-8") as fh:
             fh.write(text)

@@ -29,38 +29,88 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model import TRIPLE_COLUMNS, TRIPLE_SCHEMA, XSD
+from ..model import TRIPLE_COLUMNS, XSD
 
 XSD_STRING = XSD + "string"
 
-# One statement per line: subject predicate object [graph] '.'
+# One statement per line: subject predicate object [graph] '.' [# comment]
 # Groups: 1 subject, 2 predicate, 3 object term, 4 optional graph label.
+# A trailing comment after the terminating dot is valid N-Triples (the W3C
+# positive-syntax suite includes it).
 _STMT_RE = (
     r"^[ \t]*(<[^<>\"{}|^`\\ ]*>|_:\S+)"
     r"[ \t]+(<[^<>\"{}|^`\\ ]*>)"
     r"[ \t]+(<[^<>\"{}|^`\\ ]*>|_:\S+|\"(?:[^\"\\]|\\.)*\""
     r"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^<>\"{}|^`\\ ]*>)?)"
     r"(?:[ \t]+(<[^<>\"{}|^`\\ ]*>|_:\S+))?"
-    r"[ \t]*\.[ \t]*$"
+    r"[ \t]*\.[ \t]*(?:#.*)?$"
 )
 
+def _decode_uchar_piece(piece: Column) -> Column:
+    r"""Decode a leading ``\uXXXX`` / ``\UXXXXXXXX`` numeric escape (the
+    piece is produced by a lookahead split, so the escape — if present —
+    is at position 0 and fully hex-valid).  Pure built-ins: the code point
+    becomes UTF-16BE bytes (surrogate-pair math for astral points, since
+    Spark's ``decode`` charset whitelist has UTF-16BE but not UTF-32) and
+    ``decode(unhex(...))`` turns them into the character."""
+    is_u4 = piece.rlike(r"^\\u[0-9A-Fa-f]{4}")
+    is_u8 = piece.rlike(r"^\\U[0-9A-Fa-f]{8}")
+    hex4 = F.substring(piece, 3, 4)
+    n8 = F.conv(F.substring(piece, 3, 8), 16, 10).cast("long")
+    m = n8 - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(m, 10)
+    lo = F.lit(0xDC00) + m.bitwiseAND(F.lit(0x3FF))
+    pair_hex = F.when(n8 <= 0xFFFF, F.lpad(F.hex(n8), 4, "0")).otherwise(
+        F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    )
+    return (
+        F.when(
+            is_u4,
+            F.concat(F.decode(F.unhex(hex4), "UTF-16BE"), F.substr(piece, F.lit(7))),
+        )
+        .when(
+            is_u8,
+            F.concat(F.decode(F.unhex(pair_hex), "UTF-16BE"), F.substr(piece, F.lit(11))),
+        )
+        .otherwise(piece)
+    )
+
+
+_UCHAR_SPLIT = r"(?=\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})"
+
+
 def _unescape(col: Column) -> Column:
-    r"""Decode the five N-Triples string escapes, JVM-side and
-    collision-free: split on ``\\`` (the escaped backslash) first, decode
-    the four single-char escapes inside each segment — where no ``\\``
-    can remain, so ``\\n`` correctly decodes to backslash + 'n', not a
-    newline — and rejoin with a literal backslash.  No in-band sentinel:
-    any code point, including U+0000, round-trips."""
+    r"""Decode the N-Triples string escapes (full ECHAR set ``\t \b \n \r
+    \f \" \' \\`` plus UCHAR ``\uXXXX`` / ``\UXXXXXXXX``), JVM-side and
+    collision-free: split on ``\\`` (the escaped backslash) first — inside
+    a segment no ``\\`` can remain, so ``\\n`` correctly decodes to
+    backslash + 'n', not a newline — decode ECHARs by literal replace and
+    UCHARs by a lookahead split + hex→UTF-16BE decode, then rejoin with a
+    literal backslash.  No in-band sentinel: any code point, including
+    U+0000, round-trips.  An invalid escape (e.g. ``\z``, ``\uZZ``)
+    passes through as written rather than corrupting neighbours.
+
+    The whole decode is gated on ``contains('\\')`` — the overwhelmingly
+    common escape-free literal pays one scan, not the split machinery."""
 
     def _seg(seg: Column) -> Column:
         s = F.replace(seg, F.lit('\\"'), F.lit('"'))
+        s = F.replace(s, F.lit("\\'"), F.lit("'"))
         s = F.replace(s, F.lit("\\n"), F.lit("\n"))
         s = F.replace(s, F.lit("\\r"), F.lit("\r"))
-        return F.replace(s, F.lit("\\t"), F.lit("\t"))
+        s = F.replace(s, F.lit("\\t"), F.lit("\t"))
+        s = F.replace(s, F.lit("\\b"), F.lit("\b"))
+        s = F.replace(s, F.lit("\\f"), F.lit("\f"))
+        # ECHAR patterns are disjoint from the \u/\U prefixes, so the
+        # numeric pass sees exactly the original UCHAR sequences
+        return F.array_join(
+            F.transform(F.split(s, _UCHAR_SPLIT, -1), _decode_uchar_piece), ""
+        )
 
     # regex '\\\\\\\\' = two literal backslashes; limit -1 keeps trailing
     # empty segments so a terminal escaped backslash survives the rejoin
-    return F.array_join(F.transform(F.split(col, "\\\\\\\\", -1), _seg), "\\")
+    decoded = F.array_join(F.transform(F.split(col, "\\\\\\\\", -1), _seg), "\\")
+    return F.when(col.contains("\\"), decoded).otherwise(col)
 
 
 def _escape(col: Column) -> Column:
@@ -176,6 +226,7 @@ def parse_ntriples(
         .otherwise(F.lit(graph).cast("string"))
         .alias("graph"),
     )
+    parsed = parsed.select(*TRIPLE_COLUMNS)  # canonical column order
     return parsed.dropDuplicates() if distinct else parsed
 
 
@@ -213,11 +264,18 @@ def ntriples_lines(df: DataFrame, quads: bool = False) -> DataFrame:
     )
     parts = [subj, F.lit(" "), pred, F.lit(" "), obj]
     if quads:
+        # bnode graph labels serialize bare (angle brackets would launder
+        # the label into an IRI named graph)
         parts.append(
             F.when(
+                F.col("graph").startswith("_:"),
+                F.concat(F.lit(" "), F.col("graph")),
+            )
+            .when(
                 F.col("graph").isNotNull(),
                 F.concat(F.lit(" <"), F.col("graph"), F.lit(">")),
-            ).otherwise(F.lit(""))
+            )
+            .otherwise(F.lit(""))
         )
     parts.append(F.lit(" ."))
     return df.select(F.concat(*parts).alias("value"))

@@ -48,7 +48,10 @@ def validated_stream_writer(
 
 
 def ntriples_stream(
-    spark: SparkSession, landing_dir: str, graph: str | None = None
+    spark: SparkSession,
+    landing_dir: str,
+    graph: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Streaming N-Triples/N-Quads source over a landing directory — the
     continuous-ingestion form of ``sources/ntriples.read_ntriples``: new
@@ -57,11 +60,16 @@ def ntriples_stream(
     The grammar core is pure column expressions, so it lifts to
     ``readStream.text`` unchanged; distinct is off (streams cannot
     arbitrarily dropDuplicates — set semantics come from the MERGE's
-    key anti-join downstream)."""
+    key anti-join downstream).  ``strict`` defaults to False here, the
+    OPPOSITE of the batch reader: a strict stream wedges permanently on
+    one malformed landed line (the checkpoint replays the same offsets
+    into the same raise_error forever), so continuous ingestion drops bad
+    lines instead; pass strict=True only when the producer is trusted and
+    a poisoned file should halt the pipeline."""
     from ..sources.ntriples import parse_ntriples
 
     return parse_ntriples(
-        spark.readStream.text(landing_dir), graph=graph, distinct=False
+        spark.readStream.text(landing_dir), graph=graph, strict=strict, distinct=False
     )
 
 
@@ -78,25 +86,31 @@ def validated_triples_stream_writer(
     dump-ingestion counterpart of ``validated_stream_writer``'s pages
     path.  Exactly-once carries over from MERGE-key idempotence — a
     replayed batch inserts nothing — and the violations relation is
-    appended per epoch as the report output."""
-    import os
-
+    appended per epoch as the report output.  ``out_dir`` may be any
+    Hadoop-FS URI (scratch cleanup goes through the Hadoop FileSystem
+    API, not the local OS)."""
     from ..model import SEVERITY_VIOLATION
     from ..operators.validate import validate
     from ..plans.merge import merge_triples
 
     from pyspark.sql import functions as F
 
+    def _fs_rm(path: str) -> None:
+        # Hadoop FS delete — works for file://, hdfs://, s3a:// alike,
+        # where shutil.rmtree silently no-ops on a remote URI
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # materialize the parsed batch once: validate() is a multi-consumer
         # plan (targets scan, value stream, typed set) and must not re-run
         # the text parse per consumer (same scratch-table contract as the
         # batch pipeline)
-        scratch = os.path.join(out_dir, "scratch", f"epoch={epoch_id}")
+        scratch = f"{out_dir}/scratch/epoch={epoch_id}"
         batch_df.dropDuplicates().write.mode("overwrite").parquet(scratch)
         batch = spark.read.parquet(scratch)
         violations = validate(spark, batch, constraint_rows)
-        report_path = os.path.join(out_dir, "reports", f"epoch={epoch_id}")
+        report_path = f"{out_dir}/reports/epoch={epoch_id}"
         violations.write.mode("overwrite").parquet(report_path)
         v = spark.read.parquet(report_path)
         bad_focus = F.broadcast(
@@ -107,13 +121,11 @@ def validated_triples_stream_writer(
         conformant = batch.join(bad_focus, "subject", "left_anti")
         merge_triples(
             spark,
-            os.path.join(out_dir, "triples"),
+            f"{out_dir}/triples",
             conformant,
             n_buckets=n_buckets,
         )
-        import shutil
-
-        shutil.rmtree(scratch, ignore_errors=True)
+        _fs_rm(scratch)
 
     writer = triples_stream.writeStream.foreachBatch(per_batch).outputMode("update")
     if checkpoint_dir:

@@ -108,6 +108,39 @@ def test_strict_raises_lazily_permissive_filters(spark, tmp_path):
     assert ok.count() == 1
 
 
+def test_uchar_echar_and_trailing_comment(spark, tmp_path):
+    r"""Spec surface beyond the happy path: \uXXXX / \UXXXXXXXX numeric
+    escapes, the full ECHAR set (\b \f \'), escaped-backslash adjacency
+    (\\u0041 is backslash + 'u0041', NOT 'A'), and a comment after the
+    terminating dot (a W3C positive-syntax case)."""
+    p = tmp_path / "u.nt"
+    p.write_text(
+        "<http://ex.org/s> <http://ex.org/p1> \"caf\\u00E9\" . # trailing comment\n"
+        "<http://ex.org/s> <http://ex.org/p2> \"\\U0001F600 ok\" .\n"
+        "<http://ex.org/s> <http://ex.org/p3> \"a\\bb\\fc\\'d\" .\n"
+        "<http://ex.org/s> <http://ex.org/p4> \"not-\\\\u0041\" .\n",
+        encoding="utf-8",
+    )
+    vals = {r.predicate.rsplit("/", 1)[1]: r.object_value
+            for r in read_ntriples(spark, str(p)).collect()}
+    assert vals["p1"] == "café"
+    assert vals["p2"] == "\U0001F600 ok"
+    assert vals["p3"] == "a\bb\fc'd"
+    assert vals["p4"] == "not-\\u0041"
+
+
+def test_bnode_graph_label_roundtrip(spark, tmp_path):
+    p = tmp_path / "bg.nq"
+    p.write_text('<http://ex.org/s> <http://ex.org/p> "v" _:g1 .\n', encoding="utf-8")
+    df = read_ntriples(spark, str(p))
+    assert df.collect()[0].graph == "_:g1"
+    out = str(p) + ".rt"
+    write_ntriples(df, out, quads=True)
+    # serialized bare (not laundered into an IRI), and re-parses identically
+    line = read_ntriples(spark, out).collect()[0]
+    assert line.graph == "_:g1"
+
+
 def test_set_semantics_and_opt_out(spark, tmp_path):
     p = tmp_path / "dup.nt"
     line = '<http://ex.org/s> <http://ex.org/p> "v" .\n'
