@@ -141,6 +141,9 @@ def read_ntriples(
       statement is one line, no cross-split state exists (the Spark-first
       answer to the reference's chunked ``FileReader``,
       ValidatorInput.tsx:338-381 — chunking is the file source's job).
+      ``.nt.gz`` decompresses by extension, but gzip is NOT splittable —
+      one task per file; publish dumps as many medium parts (or zstd/bzip2)
+      for parallel reads.
     - The parse is a single regex match per line plus per-field decodes —
       all ``pyspark.sql.functions``, no UDFs, whole-stage-codegen'd.
     - N-Quads graph labels land in ``graph``; ``graph=`` (e.g. the source

@@ -149,6 +149,20 @@ def test_set_semantics_and_opt_out(spark, tmp_path):
     assert read_ntriples(spark, str(p), distinct=False).count() == 3
 
 
+def test_gzipped_dump_reads(spark, tmp_path):
+    """Real dumps ship as .nt.gz — the text source decompresses by
+    extension (one stream per file: drop many medium .gz parts, not one
+    giant archive, for parallelism)."""
+    import gzip
+
+    p = tmp_path / "doc.nt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write(NT)
+    got = read_ntriples(spark, str(p))
+    want = triples_from_turtle(spark, TTL)
+    assert _canon(got) == _canon(want)
+
+
 def test_lines_are_plain_column_plan(spark, tmp_path):
     """Serialization must stay JVM-side: no Python eval nodes in the plan."""
     p = tmp_path / "doc.nt"
