@@ -424,6 +424,44 @@ def q_shacl_zero_or_one(spark, sf_dir):
     return _violations_of(spark, sf_dir, "MaxCount", path="ex:partof?")
 
 
+def q_shacl_sparql_select(spark, sf_dir):
+    """sh:sparql SELECT constraint compiled to a BGP join plan
+    (shapes/sparql.py; reference enables SPARQL constraints via
+    shacl-engine/sparql, SHACLValidationService.ts:4,10-13,405): negative
+    account balances flagged by a FILTER comparison, with a NOT EXISTS
+    guard exercising the anti-join path.  Oracle = the same predicate
+    straight off the customer table."""
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <ex:> .
+    ex:CustSparqlShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:message "negative balance {?value}" ;
+        sh:select \"\"\"
+          PREFIX ex: <ex:>
+          SELECT $this ?value WHERE {
+            $this ex:acctbal ?value .
+            FILTER(?value < 0)
+            FILTER NOT EXISTS { $this ex:goodbal ?g }
+          }
+        \"\"\" ;
+      ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert not warnings, warnings
+    v = validate(spark, _cust_triples(spark, sf_dir), rows, broadcast_rows=_SMALL)
+    return v.select(
+        "focusNode",
+        F.col("value"),
+        F.col("resultSeverity").alias("severity"),
+        F.col("sourceConstraintComponent").alias("component"),
+    )
+
+
 def q_shacl_report_summary(spark, sf_dir):
     v = _cust_validated(spark, sf_dir)
     return v.groupBy(
@@ -1837,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_one_or_more": q_shacl_one_or_more,
         "shacl_qualified_max": q_shacl_qualified_max,
         "shacl_zero_or_one": q_shacl_zero_or_one,
+        "shacl_sparql_select": q_shacl_sparql_select,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
         "tpch_q1": q_tpch_q1,
@@ -2366,6 +2405,15 @@ def oracle_sql() -> dict[str, str]:
                'http://www.w3.org/ns/shacl#MaxCountConstraintComponent' AS sourceConstraintComponent,
                'ex:NationZeroOneShape' AS sourceShape
         FROM nation WHERE n_nationkey < 15 AND n_nationkey % 2 = 0
+    """
+
+    sql["shacl_sparql_select"] = """
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value,
+               'Violation' AS severity,
+               'http://www.w3.org/ns/shacl#SPARQLConstraintComponent' AS component
+        FROM customer
+        WHERE c_acctbal < 0
     """
 
     sql["shacl_report_summary"] = """

@@ -1651,6 +1651,69 @@ def _eval(
             _as_violations(cl, _component("Closed"), F.col("object_value"))
         )
 
+    # sh:sparql SELECT constraints (SPARQLConstraintComponent): each query
+    # compiled to a BGP join plan (shapes/sparql.py — predicate-pushed
+    # scans chained on shared-variable equi-joins, FILTERs as column
+    # predicates, NOT EXISTS as left-anti); every solution whose $this is
+    # in the constraint's target set is one violation (SHACL §5.3).  The
+    # general subset replaces nothing: hand-tuned profile rules
+    # (shapes/custom_rules.py) remain the fast path for the bundled
+    # profiles; this covers UNMODIFIED published shape files.
+    for r in rows:
+        if not r.get("sparql_select"):
+            continue
+        from ..shapes.sparql import eval_select, parse_select
+
+        q = parse_select(r["sparql_select"], r.get("sparql_prefixes"))
+        res = eval_select(triples, q)
+        tgt = targets.filter(F.col("constraint_id") == r["constraint_id"]).select(
+            F.col("focusNode").alias("this")
+        )
+        res = res.join(_gate(tgt), "this", "left_semi")
+        value_col = (
+            F.col("value").cast("string")
+            if "value" in res.columns
+            else F.lit(None).cast("string")
+        )
+        path_col = (
+            F.col("path")
+            if "path" in res.columns
+            else F.lit(r.get("path")).cast("string")
+        )
+        msgs = r.get("messages") or []
+        if msgs:
+
+            def _subst(text: str) -> F.Column:
+                # SHACL message placeholders ({$this}, {?value})
+                c = F.replace(F.lit(text), F.lit("{$this}"), F.col("this"))
+                return F.replace(
+                    c, F.lit("{?value}"), F.coalesce(value_col, F.lit(""))
+                )
+
+            msg_col = F.array(
+                *[
+                    F.struct(
+                        _subst(m["text"]).alias("text"),
+                        F.lit(m.get("lang")).cast("string").alias("lang"),
+                    )
+                    for m in msgs
+                ]
+            )
+        else:
+            msg_col = F.lit(None).cast("array<struct<text:string,lang:string>>")
+        result = result.unionByName(
+            res.select(
+                F.col("this").alias("focusNode"),
+                path_col.alias("resultPath"),
+                value_col.alias("value"),
+                msg_col.alias("message"),
+                F.lit(r["severity"]).alias("resultSeverity"),
+                F.lit(_component("SPARQL")).alias("sourceConstraintComponent"),
+                F.lit(r["shape_iri"]).alias("sourceShape"),
+                F.lit(r.get("foaf_page")).cast("string").alias("foafPage"),
+            )
+        )
+
     # set semantics on results: one sh:ValidationResult per
     # (focus, path, value, component), matching the reference engine's
     # result identity; the input to this dedup is already tiny.

@@ -53,6 +53,9 @@ class ParsedGraph:
     """Tiny in-memory triple index with the lookups the compiler needs."""
 
     triples: list[tuple[str, str, Term]] = field(default_factory=list)
+    # the document's @prefix table — kept for sh:sparql query resolution
+    # (leniently unioned under any sh:prefixes/sh:declare entries)
+    prefixes: dict[str, str] = field(default_factory=dict)
 
     def objects(self, subject: str, predicate: str) -> list[Term]:
         return [o for s, p, o in self.triples if s == subject and p == predicate]
@@ -190,7 +193,7 @@ class _TurtleParser:
                 self._expect(".")
             else:
                 self._triples_block()
-        return ParsedGraph(self.out)
+        return ParsedGraph(self.out, dict(self.prefixes))
 
     def _expect(self, punct: str) -> None:
         kind, val = self.tk.next()
@@ -975,6 +978,59 @@ def compile_shapes(ttl: str, warnings: list[str] | None = None) -> list[dict]:
                     "foaf_page": foaf_page,
                     "closed": True,
                     "closed_allowed": sorted(allowed),
+                }
+            )
+            for tkind, tval in shape_targets:
+                cid += 1
+                r = dict(row)
+                r["constraint_id"] = cid
+                r[tkind] = tval
+                rows.append(r)
+        # sh:sparql SELECT constraints (SPARQL-based constraints, SHACL §5;
+        # reference enables them via shacl-engine/sparql,
+        # SHACLValidationService.ts:4,10-13,405).  The query is parsed at
+        # COMPILE time, so an out-of-subset construct is surfaced as a
+        # warning — never a silently-passing constraint.  Prefixes resolve
+        # from sh:prefixes → sh:declare entries in this document, leniently
+        # unioned over the document's own @prefix table (what shape authors
+        # expect, though SHACL formally requires sh:declare); inline PREFIX
+        # clauses in the query win over both.
+        for sp_t in g.objects(shape, SH + "sparql"):
+            sp = sp_t.value
+            sp_deact = g.first(sp, SH + "deactivated")
+            if sp_deact is not None and sp_deact.value == "true":
+                continue
+            sel_t = g.first(sp, SH + "select")
+            if sel_t is None:
+                ctx.warnings.append(f"sh:sparql on {shape}: missing sh:select")
+                continue
+            prefixes = dict(g.prefixes)
+            for pdecl_t in g.objects(sp, SH + "prefixes"):
+                for decl_t in g.objects(pdecl_t.value, SH + "declare"):
+                    p_t = g.first(decl_t.value, SH + "prefix")
+                    ns_t = g.first(decl_t.value, SH + "namespace")
+                    if p_t is not None and ns_t is not None:
+                        prefixes[p_t.value] = ns_t.value
+            try:
+                from .sparql import parse_select
+
+                parse_select(sel_t.value, prefixes)
+            except ValueError as e:
+                ctx.warnings.append(f"sh:sparql on {shape}: {e}")
+                continue
+            sp_msgs = [
+                {"text": m.value, "lang": (m.lang.lower() if m.lang else None)}
+                for m in g.objects(sp, SH + "message")
+            ] or None
+            row = dict(_ROW_DEFAULTS)
+            row.update(
+                {
+                    "shape_iri": shape,
+                    "severity": _severity_of(g.first(shape, SH + "severity")),
+                    "messages": sp_msgs,
+                    "foaf_page": foaf_page,
+                    "sparql_select": sel_t.value,
+                    "sparql_prefixes": prefixes,
                 }
             )
             for tkind, tval in shape_targets:

@@ -1,0 +1,141 @@
+"""sh:sparql SELECT constraints: parser subset, compile-time surfacing of
+unsupported syntax, and end-to-end evaluation through validate() with
+target scoping and message placeholder substitution."""
+
+from __future__ import annotations
+
+import pytest
+
+from shacl_validator_spark.operators.validate import validate
+from shacl_validator_spark.shapes.compiler import compile_shapes
+from shacl_validator_spark.shapes.sparql import (
+    SparqlUnsupported,
+    eval_select,
+    parse_select,
+)
+from shacl_validator_spark.sources.rdf_io import triples_from_turtle
+
+DATA = """
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://ex.org/> .
+ex:c1 a ex:Cust ; ex:bal "-5"^^<http://www.w3.org/2001/XMLSchema#integer> ;
+      ex:name "alice"@en .
+ex:c2 a ex:Cust ; ex:bal "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:c3 a ex:Cust .
+ex:other ex:bal "-9"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+
+SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex.org/> .
+ex:CustShape a sh:NodeShape ;
+  sh:targetClass ex:Cust ;
+  sh:severity sh:Warning ;
+  sh:sparql [
+    sh:message "negative balance on {$this}: {?value}"@en ;
+    sh:select \"\"\"
+      SELECT $this ?value WHERE {
+        $this ex:bal ?value .
+        FILTER(?value < 0)
+      }
+    \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "customer without balance" ;
+    sh:select \"\"\"
+      SELECT $this WHERE {
+        $this a ex:Cust .
+        FILTER NOT EXISTS { $this ex:bal ?b }
+      }
+    \"\"\" ;
+  ] .
+"""
+
+
+def test_compile_and_validate_sparql(spark):
+    warnings: list[str] = []
+    rows = compile_shapes(SHAPES, warnings)
+    assert warnings == []
+    sparql_rows = [r for r in rows if r.get("sparql_select")]
+    assert len(sparql_rows) == 2
+    t = triples_from_turtle(spark, DATA)
+    v = validate(spark, t, rows)
+    got = {
+        (r.focusNode, r.value, r.sourceConstraintComponent, r.resultSeverity)
+        for r in v.collect()
+    }
+    SC = "http://www.w3.org/ns/shacl#SPARQLConstraintComponent"
+    # ex:other matches the BGP but is NOT a target → excluded
+    assert got == {
+        ("http://ex.org/c1", "-5", SC, "Warning"),
+        ("http://ex.org/c3", None, SC, "Warning"),
+    }
+    msg = {
+        r.focusNode: r.message[0].text
+        for r in v.collect()
+        if r.focusNode == "http://ex.org/c1"
+    }
+    assert msg["http://ex.org/c1"] == "negative balance on http://ex.org/c1: -5"
+
+
+def test_sh_prefixes_declare_resolution(spark):
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Cust ;
+      sh:sparql [
+        sh:prefixes [ sh:declare [ sh:prefix "b" ; sh:namespace "http://ex.org/" ] ] ;
+        sh:select "SELECT $this ?value WHERE { $this b:bal ?value . FILTER(?value < 0) }" ;
+      ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert warnings == []
+    v = validate(spark, triples_from_turtle(spark, DATA), rows)
+    assert {r.focusNode for r in v.collect()} == {"http://ex.org/c1"}
+
+
+def test_unsupported_surfaces_as_warning():
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Cust ;
+      sh:sparql [ sh:select "SELECT $this WHERE { $this ex:p ?v . OPTIONAL { ?v ex:q ?w } }" ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert [r for r in rows if r.get("sparql_select")] == []
+    assert any("OPTIONAL" in w for w in warnings)
+
+
+def test_parser_rejections():
+    with pytest.raises(SparqlUnsupported, match=r"\$this"):
+        parse_select("SELECT ?x WHERE { ?x a <http://t> }")
+    with pytest.raises(SparqlUnsupported, match="UNION / group"):
+        parse_select(
+            "SELECT $this WHERE { { $this a <http://t> } UNION { $this a <http://u> } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="cartesian"):
+        q = parse_select("SELECT $this WHERE { $this a <http://t> . ?a <http://p> ?b }")
+        eval_select(None, q)  # raises before touching the DataFrame
+    with pytest.raises(SparqlUnsupported, match="undeclared prefix"):
+        parse_select("SELECT $this WHERE { $this ex:p ?v }")
+
+
+def test_bgp_join_ordering_and_builtins(spark):
+    """Transitively-connected patterns order themselves; datatype()/lang()
+    builtins read the aux binding columns."""
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT $this ?n WHERE {
+          ?c ex:name ?n .
+          $this ex:bal ?v .
+          ?c ex:bal ?v .
+          FILTER(lang(?n) = "en" && datatype(?v) = <http://www.w3.org/2001/XMLSchema#integer>)
+        }
+        """
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    assert got == {("http://ex.org/c1", "alice")}
