@@ -33,6 +33,13 @@ from ..model import TRIPLE_COLUMNS, XSD
 
 XSD_STRING = XSD + "string"
 
+# field separator for the one-regex-execution pack (see parse_ntriples):
+# U+001F (unit separator) cannot appear in CONFORMANT N-Triples — the
+# grammar forbids raw control characters inside any term, so a line
+# carrying one is ill-formed and reports as unparseable (strict raises,
+# permissive filters) instead of parsing incorrectly
+_SEP = "\x1f"
+
 # One statement per line: subject predicate object [graph] '.' [# comment]
 # Groups: 1 subject, 2 predicate, 3 object term, 4 optional graph label.
 # A trailing comment after the terminating dot is valid N-Triples (the W3C
@@ -172,14 +179,31 @@ def parse_ntriples(
     """Grammar core shared by the batch reader and the streaming source:
     a single-string-column relation (``value``) → TRIPLE_SCHEMA.  Pure
     column expressions, so it lifts to a ``readStream.text`` input
-    unchanged (streaming/stream.py:ntriples_stream)."""
+    unchanged (streaming/stream.py:ntriples_stream).
+
+    Hot-path shape: the master regex executes per line as a single
+    ``regexp_replace`` that rewrites the matched line into a
+    U+001F-separated 4-field pack, which a literal ``split`` then indexes
+    — four separate ``regexp_extract`` calls re-run the same match per
+    group (measured ~2.7× the parse cost at dump scale); the pack plus
+    whole-stage-codegen subexpression elimination leaves ~one regex
+    execution per consumer tree.  No conditional fallback branch: a
+    branch per field defeats codegen CSE (measured slower than the
+    extracts it replaced), and a line containing a raw U+001F is
+    ill-formed N-Triples anyway — it reports as unparseable like any
+    other grammar violation."""
     content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#.*)?$"))
 
-    s = F.regexp_extract("value", _STMT_RE, 1)
-    p = F.regexp_extract("value", _STMT_RE, 2)
-    o = F.regexp_extract("value", _STMT_RE, 3)
-    g = F.regexp_extract("value", _STMT_RE, 4)
-    matched = s != ""
+    packed = F.regexp_replace(
+        "value", _STMT_RE, _SEP.join(f"${i}" for i in range(1, 5))
+    )
+    parts = F.split(packed, _SEP, -1)
+
+    def _field(i: int) -> Column:
+        return F.get(parts, i - 1)
+
+    s, p, o, g = _field(1), _field(2), _field(3), _field(4)
+    matched = F.size(parts) == 4
 
     if strict:
         content = content.withColumn(

@@ -149,6 +149,25 @@ def test_set_semantics_and_opt_out(spark, tmp_path):
     assert read_ntriples(spark, str(p), distinct=False).count() == 3
 
 
+def test_unit_separator_literal_is_unparseable(spark, tmp_path):
+    """A literal containing raw U+001F is ill-formed N-Triples (the
+    grammar forbids raw control characters) — it must report as
+    unparseable, never misparse: strict raises, permissive filters."""
+    p = tmp_path / "sep.nt"
+    p.write_text(
+        '<http://ex.org/s> <http://ex.org/p> "a\x1fb" .\n'
+        '<http://ex.org/s> <http://ex.org/q> "clean" .\n',
+        encoding="utf-8",
+    )
+    with pytest.raises(Exception, match="unparseable"):
+        read_ntriples(spark, str(p)).collect()
+    vals = {
+        r.predicate: r.object_value
+        for r in read_ntriples(spark, str(p), strict=False).collect()
+    }
+    assert vals == {"http://ex.org/q": "clean"}
+
+
 def test_gzipped_dump_reads(spark, tmp_path):
     """Real dumps ship as .nt.gz — the text source decompresses by
     extension (one stream per file: drop many medium .gz parts, not one
@@ -175,9 +194,11 @@ def test_lines_are_plain_column_plan(spark, tmp_path):
 
 _lit_text = st.text(
     # full BMP + astral, incl. quotes/backslashes/newlines/controls/U+0000 —
-    # the decode is collision-free by construction (no in-band sentinel);
-    # only surrogates are excluded (not encodable to UTF-8 at all)
-    alphabet=st.characters(blacklist_categories=("Cs",)),
+    # the decode is collision-free by construction (no in-band sentinel).
+    # Excluded: surrogates (not encodable to UTF-8 at all) and U+001F,
+    # which the parser REJECTS by design (ill-formed N-Triples, used as
+    # the pack separator — see test_unit_separator_literal_is_unparseable)
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x1f"),
     max_size=40,
 )
 

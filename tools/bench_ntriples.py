@@ -85,7 +85,8 @@ t0 = time.time()
 parsed = read_ntriples(spark, {dump_dir!r}, distinct=False)
 row = parsed.agg(
     F.count(F.lit(1)).alias("n"),
-    F.sum(F.xxhash64(*TRIPLE_COLUMNS)).alias("h"),
+    # bit_xor: order-insensitive and overflow-free under ANSI mode
+    F.bit_xor(F.xxhash64(*TRIPLE_COLUMNS)).alias("h"),
 ).collect()[0]
 wall = time.time() - t0
 print("RESULT " + json.dumps({{
