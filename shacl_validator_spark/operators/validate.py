@@ -1659,13 +1659,21 @@ def _eval(
     # general subset replaces nothing: hand-tuned profile rules
     # (shapes/custom_rules.py) remain the fast path for the bundled
     # profiles; this covers UNMODIFIED published shape files.
+    # eval_select is target-independent: a shape with several target kinds
+    # compiles to several rows sharing one query text — evaluate each
+    # distinct (query, prefixes) once and semi-join per target slice
+    sparql_plans: dict[tuple, DataFrame] = {}
     for r in rows:
         if not r.get("sparql_select"):
             continue
         from ..shapes.sparql import eval_select, parse_select
 
-        q = parse_select(r["sparql_select"], r.get("sparql_prefixes"))
-        res = eval_select(triples, q)
+        key = (r["sparql_select"], tuple(sorted((r.get("sparql_prefixes") or {}).items())))
+        res = sparql_plans.get(key)
+        if res is None:
+            q = parse_select(r["sparql_select"], r.get("sparql_prefixes"))
+            res = eval_select(triples, q)
+            sparql_plans[key] = res
         tgt = targets.filter(F.col("constraint_id") == r["constraint_id"]).select(
             F.col("focusNode").alias("this")
         )

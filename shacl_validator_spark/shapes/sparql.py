@@ -70,16 +70,20 @@ class SelectQuery:
 
 # --- tokenizer -------------------------------------------------------------
 
+# PN_LOCAL may contain but not END with '.' (SPARQL grammar) — the
+# trailing-dot lookahead keeps `ex:Cust.` tokenizing as `ex:Cust` + `.`
+# (the ubiquitous no-space-before-terminator style in published shapes).
 _TOK_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
     | (?P<iri><[^<>\s]*>)
     | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<plocal>[A-Za-z0-9_][\w.-]*)?
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<plocal>[A-Za-z0-9_](?:[\w.-]*[\w-])?)?
     | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>&&|\|\||!=|<=|>=|\^\^|[{}().;,!=<>@])
+    | (?P<op>&&|\|\||!=|<=|>=|\^\^|[{}().;,!=<>@*])
     """,
     re.VERBOSE,
 )
@@ -157,10 +161,9 @@ class _P:
         if kind == "string":
             s = _unescape_sparql(val[1:-1])
             t = self.peek()
-            if t is not None and t[1] == "@":
+            if t is not None and t[0] == "langtag":
                 self.next()
-                _, lang = self.next()
-                return ("lit", s, None, lang.lower())
+                return ("lit", s, None, t[1][1:].lower())
             if t is not None and t[1] == "^^":
                 self.next()
                 dt = self.term()
@@ -279,17 +282,12 @@ class _P:
 
 
 def _unescape_sparql(s: str) -> str:
-    out: list[str] = []
-    i = 0
-    while i < len(s):
-        if s[i] == "\\" and i + 1 < len(s):
-            n = s[i + 1]
-            out.append({"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}.get(n, "\\" + n))
-            i += 2
-        else:
-            out.append(s[i])
-            i += 1
-    return "".join(out)
+    # SPARQL string escapes = Turtle's (ECHAR + \uXXXX/\UXXXXXXXX UCHAR);
+    # reuse the Turtle parser's decoder so constants like "café"
+    # compare against real data values instead of silently never matching
+    from .compiler import _unescape as _turtle_unescape
+
+    return _turtle_unescape(s)
 
 
 def parse_select(text: str, prefixes: dict[str, str] | None = None) -> SelectQuery:
@@ -346,6 +344,8 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
     df = triples
     if tp.s[0] == "iri":
         df = df.filter(F.col("subject") == tp.s[1])
+    elif tp.s[0] != "var":
+        raise SparqlUnsupported("sparql: literal in subject position")
     if tp.p[0] == "iri":
         df = df.filter(F.col("predicate") == tp.p[1])
     elif tp.p[0] != "var":
@@ -400,6 +400,48 @@ def _tp_vars(tp: TriplePattern) -> set[str]:
     return {t[1] for t in (tp.s, tp.p, tp.o) if t[0] == "var"}
 
 
+def _join_on_vars(
+    acc: DataFrame, pat: DataFrame, shared: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two binding relations on shared variables with full RDF TERM
+    identity, not lexical value alone: "5"^^xsd:integer, "5" (plain) and
+    an IRI <5> are three different terms and must not unify (SPARQL BGP
+    solution semantics).  Aux (type/datatype/lang) columns exist exactly
+    when a variable was bound in object position; when only one side
+    carries them, the other side bound the variable as a subject or
+    predicate — an IRI or blank node by construction — so the aux side
+    must be non-literal."""
+    l, r = acc.alias("_l"), pat.alias("_r")
+    cond = None
+    consumed_right: set[str] = set()
+    for v in shared:
+        col = f"v_{v}"
+        c = F.col(f"_l.{col}") == F.col(f"_r.{col}")
+        l_aux = f"{col}__type" in acc.columns
+        r_aux = f"{col}__type" in pat.columns
+        if l_aux and r_aux:
+            for a in _AUX:
+                c = c & F.col(f"_l.{col}{a}").eqNullSafe(F.col(f"_r.{col}{a}"))
+            consumed_right.update(f"{col}{a}" for a in _AUX)
+        elif l_aux:
+            c = c & (F.col(f"_l.{col}__type") != "literal")
+        elif r_aux:
+            c = c & (F.col(f"_r.{col}__type") != "literal")
+            # right aux survives: acc lacked term info for this var
+        cond = c if cond is None else cond & c
+        consumed_right.add(col)
+    joined = l.join(r, cond, how)
+    if how == "left_anti":
+        return joined
+    keep_l = [F.col(f"_l.{c}").alias(c) for c in acc.columns]
+    keep_r = [
+        F.col(f"_r.{c}").alias(c)
+        for c in pat.columns
+        if c not in consumed_right and c not in acc.columns
+    ]
+    return joined.select(*keep_l, *keep_r)
+
+
 def _eval_bgp(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
     """Join the patterns greedily along shared variables (a pattern joins
     as soon as it shares a variable with the bound set, so transitively
@@ -443,11 +485,7 @@ def _eval_bgp(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
         if acc is None:
             acc = pat
         else:
-            shared = sorted(f"v_{v}" for v in (_tp_vars(tp) & bound))
-            # aux columns of already-bound vars: keep acc's copy
-            dup_aux = [c for c in pat.columns if c in acc.columns and c not in shared]
-            pat = pat.drop(*dup_aux)
-            acc = acc.join(pat, on=shared, how="inner")
+            acc = _join_on_vars(acc, pat, sorted(_tp_vars(tp) & bound))
         bound |= _tp_vars(tp)
     for tp in const_pats:
         probe = _pattern_df(triples, tp).limit(1)
@@ -541,13 +579,18 @@ def eval_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
         acc = acc.filter(_expr_col(fe))
     for sub in q.not_exists:
         sub_df = _eval_bgp(triples, sub)
-        shared = [c for c in sub_df.columns if c in acc.columns
-                  and not any(c.endswith(a) for a in _AUX)]
+        shared = sorted(
+            c[2:]
+            for c in sub_df.columns
+            if c in acc.columns
+            and c.startswith("v_")
+            and not any(c.endswith(a) for a in _AUX)
+        )
         if not shared:
             raise SparqlUnsupported(
                 "sparql: NOT EXISTS must share a variable with the outer pattern"
             )
-        acc = acc.join(sub_df.select(*shared).dropDuplicates(), on=shared, how="left_anti")
+        acc = _join_on_vars(acc, sub_df, shared, how="left_anti")
     missing = [v for v in q.project if f"v_{v}" not in acc.columns]
     if missing:
         raise SparqlUnsupported(f"sparql: projected variables never bound: {missing}")

@@ -17,11 +17,13 @@ grammars are stateful (prefixes, nesting) and the reference only ever uses
 them for catalog-sized inputs; N-Triples/N-Quads is the interchange format
 actually used for web-scale dumps (Wikidata, DBpedia, LOD crawls).
 
-Escape handling: the RDF 1.1 N-Triples string escapes ``\\`` ``\"`` ``\n``
-``\r`` ``\t`` are decoded/encoded exactly; ``\uXXXX`` / ``\UXXXXXXXX``
-numeric escapes are NOT decoded (the spec allows but does not require them
-— UTF-8 encoded dumps emit code points directly; strict mode surfaces any
-line this parser cannot round-trip rather than corrupting it).
+Escape handling: the full RDF 1.1 N-Triples escape surface decodes
+JVM-side — the ECHAR set ``\t \b \n \r \f \" \' \\`` by literal replaces
+and the numeric ``\uXXXX`` / ``\UXXXXXXXX`` UCHARs by hex→UTF-16BE
+decoding with surrogate-pair math (Virtuoso/Blazegraph-style dumps
+\u-escape non-ASCII).  The decode is collision-free (no in-band
+sentinel): every code point, including U+0000 and the pack separator
+U+001F, round-trips bit-exactly.
 """
 
 from __future__ import annotations
@@ -34,10 +36,10 @@ from ..model import TRIPLE_COLUMNS, XSD
 XSD_STRING = XSD + "string"
 
 # field separator for the one-regex-execution pack (see parse_ntriples):
-# U+001F (unit separator) cannot appear in CONFORMANT N-Triples — the
-# grammar forbids raw control characters inside any term, so a line
-# carrying one is ill-formed and reports as unparseable (strict raises,
-# permissive filters) instead of parsing incorrectly
+# raw U+001F (unit separator) is legal only INSIDE literals (and then
+# rare); a branch-free pre-replace rewrites it to its backslash-u001F escape, which
+# the escape decoder later restores — so every spec-valid line parses
+# bit-exactly and the separator can never be forged
 _SEP = "\x1f"
 
 # One statement per line: subject predicate object [graph] '.' [# comment]
@@ -184,25 +186,28 @@ def parse_ntriples(
     Hot-path shape: the master regex executes per line as a single
     ``regexp_replace`` that rewrites the matched line into a
     U+001F-separated 4-field pack, which a literal ``split`` then indexes
-    — four separate ``regexp_extract`` calls re-run the same match per
-    group (measured ~2.7× the parse cost at dump scale); the pack plus
-    whole-stage-codegen subexpression elimination leaves ~one regex
-    execution per consumer tree.  No conditional fallback branch: a
-    branch per field defeats codegen CSE (measured slower than the
-    extracts it replaced), and a line containing a raw U+001F is
-    ill-formed N-Triples anyway — it reports as unparseable like any
-    other grammar violation."""
-    content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#.*)?$"))
+    (four separate ``regexp_extract`` calls re-run the same match per
+    group — measured ~2.7× the parse cost at dump scale).  The pack is
+    made EXACT without any per-row branch (a conditional — whether per
+    field or as one struct — defeats whole-stage-codegen subexpression
+    elimination; both forms measured 35-75 % slower): a raw U+001F, which
+    is spec-legal only inside literals (STRING_LITERAL_QUOTE excludes
+    only ``"`` ``\\`` LF CR), is first rewritten to its ``\\u001F``
+    numeric escape by a cheap non-regex replace — the escape decoder
+    later in this very pipeline turns it back into the identical code
+    point, so the literal round-trips bit-exactly, while a U+001F
+    OUTSIDE a literal (truly ill-formed) makes the grammar fail to match
+    and reports unparseable.  After the rewrite no line contains the
+    separator, so ``size(parts) == 4 ⇔ matched`` with no counterexample.
+    """
+    content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#.*)?$")).select(
+        F.replace(F.col("value"), F.lit(_SEP), F.lit("\\u001F")).alias("value")
+    )
 
     packed = F.regexp_replace(
         "value", _STMT_RE, _SEP.join(f"${i}" for i in range(1, 5))
     )
     parts = F.split(packed, _SEP, -1)
-
-    def _field(i: int) -> Column:
-        return F.get(parts, i - 1)
-
-    s, p, o, g = _field(1), _field(2), _field(3), _field(4)
     matched = F.size(parts) == 4
 
     if strict:
@@ -216,6 +221,11 @@ def parse_ntriples(
         )
     else:
         content = content.filter(matched)
+
+    def _field(i: int) -> Column:
+        return F.get(parts, i - 1)
+
+    s, p, o, g = _field(1), _field(2), _field(3), _field(4)
 
     is_lit = o.startswith('"')
     is_iri = o.startswith("<")

@@ -149,23 +149,27 @@ def test_set_semantics_and_opt_out(spark, tmp_path):
     assert read_ntriples(spark, str(p), distinct=False).count() == 3
 
 
-def test_unit_separator_literal_is_unparseable(spark, tmp_path):
-    """A literal containing raw U+001F is ill-formed N-Triples (the
-    grammar forbids raw control characters) — it must report as
-    unparseable, never misparse: strict raises, permissive filters."""
+def test_unit_separator_literal_parses_exactly(spark, tmp_path):
+    """Raw U+001F inside a literal is spec-VALID (STRING_LITERAL_QUOTE
+    excludes only quote/backslash/LF/CR) — the branch-free pre-replace
+    rewrites it into its numeric escape, which the decoder restores, so
+    it parses bit-exactly and can never confuse the packed fast path.
+    A NON-matching line that happens to contain three U+001F chars must
+    still report unparseable (the forged-pack case)."""
     p = tmp_path / "sep.nt"
     p.write_text(
         '<http://ex.org/s> <http://ex.org/p> "a\x1fb" .\n'
         '<http://ex.org/s> <http://ex.org/q> "clean" .\n',
         encoding="utf-8",
     )
+    vals = {r.predicate: r.object_value for r in read_ntriples(spark, str(p)).collect()}
+    assert vals == {"http://ex.org/p": "a\x1fb", "http://ex.org/q": "clean"}
+
+    bad = tmp_path / "forged.nt"
+    bad.write_text('<http://s> <http://p> "a\x1fb\x1fc\x1fd"\n', encoding="utf-8")
     with pytest.raises(Exception, match="unparseable"):
-        read_ntriples(spark, str(p)).collect()
-    vals = {
-        r.predicate: r.object_value
-        for r in read_ntriples(spark, str(p), strict=False).collect()
-    }
-    assert vals == {"http://ex.org/q": "clean"}
+        read_ntriples(spark, str(bad)).collect()
+    assert read_ntriples(spark, str(bad), strict=False).count() == 0
 
 
 def test_gzipped_dump_reads(spark, tmp_path):
@@ -193,12 +197,11 @@ def test_lines_are_plain_column_plan(spark, tmp_path):
 
 
 _lit_text = st.text(
-    # full BMP + astral, incl. quotes/backslashes/newlines/controls/U+0000 —
-    # the decode is collision-free by construction (no in-band sentinel).
-    # Excluded: surrogates (not encodable to UTF-8 at all) and U+001F,
-    # which the parser REJECTS by design (ill-formed N-Triples, used as
-    # the pack separator — see test_unit_separator_literal_is_unparseable)
-    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x1f"),
+    # full BMP + astral, incl. quotes/backslashes/newlines/controls,
+    # U+0000 AND the pack separator U+001F — the decode is collision-free
+    # by construction and U+001F routes through the fallback branch; only
+    # surrogates are excluded (not encodable to UTF-8 at all)
+    alphabet=st.characters(blacklist_categories=("Cs",)),
     max_size=40,
 )
 

@@ -122,6 +122,62 @@ def test_parser_rejections():
         parse_select("SELECT $this WHERE { $this ex:p ?v }")
 
 
+def test_review_findings_regressions(spark):
+    """Round-3 review regressions: PN_LOCAL must not swallow the statement
+    dot; regioned lang tags tokenize; UCHAR escapes decode in constants;
+    literal subjects raise; SELECT * gets the curated message."""
+    # ex:Cust. (no space before the dot) → IRI ends at 'Cust'
+    q = parse_select(
+        "PREFIX ex: <http://ex.org/> SELECT $this WHERE { $this a ex:Cust. }"
+    )
+    assert q.patterns[0].o == ("iri", "http://ex.org/Cust")
+    # regioned lang tag tokenizes and lowercases
+    q2 = parse_select(
+        'PREFIX ex: <http://ex.org/> SELECT $this WHERE { $this ex:l "x"@en-GB }'
+    )
+    assert q2.patterns[0].o == ("lit", "x", None, "en-gb")
+    # \\uXXXX decodes in string constants
+    q3 = parse_select(
+        'PREFIX ex: <http://ex.org/> SELECT $this WHERE { $this ex:n "caf\\u00E9" }'
+    )
+    assert q3.patterns[0].o[1] == "café"
+    with pytest.raises(SparqlUnsupported, match="subject position"):
+        parse_select('SELECT $this WHERE { "lit" <http://p> ?v . $this <http://q> ?v }')
+        eval_select(None, parse_select(
+            'SELECT $this WHERE { "lit" <http://p> ?v . $this <http://q> ?v }'
+        ))
+    with pytest.raises(SparqlUnsupported, match="outside the subset"):
+        parse_select("SELECT * WHERE { $this a <http://t> }")
+
+
+def test_term_identity_join(spark):
+    """Shared variables unify on full RDF term identity, not lexical value:
+    "5"^^xsd:integer and "5" (plain) are different terms and must not join."""
+    rows = [
+        ("ex:a", "http://ex.org/bal", "5", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),
+        ("ex:b", "http://ex.org/bal", "5", "literal",
+         "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ("ex:a", "http://ex.org/flag", "y", "literal", None, None, None),
+        ("ex:b", "http://ex.org/flag", "y", "literal", None, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_value string, object_type string, "
+        "object_datatype string, object_lang string, graph string",
+    )
+    q = parse_select(
+        """PREFIX ex: <http://ex.org/>
+        SELECT $this ?c WHERE {
+          $this ex:bal ?v . ?c ex:bal ?v . $this ex:flag ?f . ?c ex:flag ?f
+        }"""
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    # each subject only joins itself: the "5"s differ in datatype, so no
+    # cross pair; ?f ("y" plain) is term-identical across both but ?v gates
+    assert got == {("ex:a", "ex:a"), ("ex:b", "ex:b")}
+
+
 def test_bgp_join_ordering_and_builtins(spark):
     """Transitively-connected patterns order themselves; datatype()/lang()
     builtins read the aux binding columns."""

@@ -110,7 +110,9 @@ def _run(code: str) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    dump_dir = os.environ.get("NT_DUMP_DIR", "/dev/shm/nt_dump")
+    # dir keyed by n: a rerun with a different size must not silently time
+    # a stale dump of the wrong cardinality
+    dump_dir = os.environ.get("NT_DUMP_DIR", f"/dev/shm/nt_dump_{n}")
     if not os.path.exists(dump_dir):
         subprocess.run(
             [sys.executable, "-c", GEN.format(repo=REPO, n=n, dump_dir=dump_dir)],
