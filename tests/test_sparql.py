@@ -195,3 +195,48 @@ def test_bgp_join_ordering_and_builtins(spark):
     )
     got = {tuple(r) for r in eval_select(t, q).collect()}
     assert got == {("http://ex.org/c1", "alice")}
+
+
+def test_dir3_rule_as_sh_sparql_parity(spark):
+    """The hand-written DIR3 profile rule (custom_rules.py — the bundled
+    fast path) and its sh:sparql expression through the general compiler
+    must flag the identical (focusNode, value) set on the synthetic
+    DCAT-AP-ES catalog."""
+    from shacl_validator_spark.shapes.custom_rules import (
+        apply_custom_rules,
+        dir3_organism_rule,
+    )
+    from shacl_validator_spark.sources.synthetic import nation_dcat_es_triples
+
+    t = nation_dcat_es_triples(spark, "/root/testdata/sf0.001")
+    want = {
+        (r.focusNode, r.value)
+        for r in apply_custom_rules(spark, t, [dir3_organism_rule()]).collect()
+    }
+    shapes = """
+    @prefix sh:   <http://www.w3.org/ns/shacl#> .
+    @prefix dcat: <http://www.w3.org/ns/dcat#> .
+    @prefix dct:  <http://purl.org/dc/terms/> .
+    @prefix ex:   <http://ex.org/> .
+    ex:Dir3SparqlShape a sh:NodeShape ;
+      sh:targetClass dcat:Dataset ;
+      sh:sparql [
+        sh:message "publisher must be a DIR3 organism IRI" ;
+        sh:select \"\"\"
+          PREFIX dct: <http://purl.org/dc/terms/>
+          SELECT $this ?value WHERE {
+            $this dct:publisher ?value .
+            FILTER(!isIRI(?value) || !regex(str(?value),
+              "^http://datos\\\\.gob\\\\.es/recurso/sector-publico/org/Organismo/"))
+          }
+        \"\"\" ;
+      ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert warnings == []
+    got = {
+        (r.focusNode, r.value)
+        for r in validate(spark, t, rows).collect()
+    }
+    assert got == want and len(want) > 0
