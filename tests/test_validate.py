@@ -236,12 +236,23 @@ def test_broadcast_gate_shuffle_path(spark, shapes):
     """Above the broadcast-row gate the validator must plan hint-free joins
     for the data-derived relations (targets, typed_set): no forced
     BroadcastExchange that would OOM at 10^9+ focus nodes.  broadcast_rows=0
-    forces that path; results must match the broadcast plan exactly."""
+    forces that path; results must match the broadcast plan exactly.
+
+    Relation caching is disabled for the plan-string assertions: persisted
+    relations from earlier validate() calls register in the cache manager,
+    and Catalyst substitutes logically-equal subtrees with InMemoryRelation
+    (whose embedded cached physical plan contains its own join strategy
+    strings) — noise for an assertion about the freshly planned joins."""
     triples = triples_from_turtle(spark, FX.PUBLISHER_UNTYPED, graph="test://fixture")
-    small_df = validate(spark, triples, shapes, broadcast_rows=10**9)
-    big_df = validate(spark, triples, shapes, broadcast_rows=0)
-    opt_small = small_df._jdf.queryExecution().optimizedPlan().toString()
-    opt_big = big_df._jdf.queryExecution().optimizedPlan().toString()
+    spark.conf.set("spark.kg.validate.cacheRelations", "false")
+    spark.catalog.clearCache()  # drop earlier tests' registered relations too
+    try:
+        small_df = validate(spark, triples, shapes, broadcast_rows=10**9)
+        big_df = validate(spark, triples, shapes, broadcast_rows=0)
+        opt_small = small_df._jdf.queryExecution().optimizedPlan().toString()
+        opt_big = big_df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.unset("spark.kg.validate.cacheRelations")
     # The KB-sized facet table stays broadcast on BOTH paths (by design);
     # the gate governs the DATA-DERIVED joins.  The targets semi-join is the
     # marker: hinted broadcast on the small path, hint-free above the gate.
