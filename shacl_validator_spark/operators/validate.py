@@ -449,7 +449,7 @@ def _closure(
         # depth) — closure predicates are hierarchy edges (dimension-sized,
         # see docstring), so the cache is bounded at any corpus scale
         if (
-            frontier.sparkSession.conf.get("spark.kg.validate.cacheRelations", "true")
+            frontier.sparkSession.conf.get("spark.kg.validate.cacheRelations", "false")
             == "true"
         ):
             reach = _persist_tracked(reach)
@@ -831,10 +831,18 @@ def _cache_gate(spark: SparkSession, small: bool) -> bool:
     Gated on ``small`` — the same probe that authorizes broadcasting
     already proved the relation ≤ broadcastRows (default 4M rows), so the
     cache is bounded; on the huge-graph path (small=False) nothing is
-    persisted and the hint-free AQE plan is unchanged.  Conf kill-switch:
-    spark.kg.validate.cacheRelations."""
+    persisted and the hint-free AQE plan is unchanged.
+
+    Default OFF: after the literal-check compilation landed, an A/B at
+    sf0.1 measured every persisted variant SLOWER on cache-cold runs
+    (8.3 s vs 10.6 s for the 35-constraint report; 1.0 s vs 1.6 s for the
+    DCAT-AP-ES suite) — the block-store materialization barrier costs more
+    than recomputing the handful of pushed-down scans each reference
+    plans to.  Opt-in via spark.kg.validate.cacheRelations=true for
+    workloads that re-execute one compiled plan against hot data many
+    times per process."""
     return small and (
-        spark.conf.get("spark.kg.validate.cacheRelations", "true") == "true"
+        spark.conf.get("spark.kg.validate.cacheRelations", "false") == "true"
     )
 
 
@@ -979,10 +987,17 @@ def _eval(
     # ONE value node; row-counting would false-positive every maxCount on
     # hub entities, and per-row results would duplicate per page.
     # =======================================================================
-    values = _attach_facets(
-        vals.join(_gate(targets), ["constraint_id", "focusNode"], "left_semi"),
-        facets,
-    )
+    # The value stream stays NARROW — six term columns plus the few
+    # data-derived lookups (t_classes, _lt_*, nested-pass flags).  Check
+    # facets are compiled into literal per-constraint expressions below
+    # instead of being joined on as columns: the r4 stack profile showed the
+    # hot stage dominated by UnsafeRowWriter on ~40-column rows (every value
+    # row dragged branch-struct arrays, message arrays, and vocabulary lists
+    # through every join/explode), and literal facets additionally compile
+    # regexes once and fold the datatype-validity dispatch per constraint.
+    # Result metadata (path/severity/messages/shape) joins onto the
+    # violation-sized exploded stream, never the corpus-sized one.
+    values = vals.join(_gate(targets), ["constraint_id", "focusNode"], "left_semi")
 
     # sh:class (plain facet or inside logical branches) needs a type lookup
     # per value node: ONE aggregated node→classes relation serves every
@@ -1011,10 +1026,8 @@ def _eval(
         values = values.join(
             gated_nc, values["object_value"] == gated_nc["t_node"], "left"
         ).drop("t_node")
-    else:
-        values = values.withColumn(
-            "t_classes", F.lit(None).cast("array<string>")
-        )
+    # (no null t_classes column when nothing checks a class — every class
+    # check below is built only for constraints that carry one)
 
     # sh:lessThan: every value v of the path must be strictly less than
     # every value w of the sibling property — v violates iff ∃w ¬(v<w)
@@ -1064,15 +1077,8 @@ def _eval(
             )
         )
         values = values.join(_gate(lt_agg), ["constraint_id", "focusNode"], "left")
-    else:
-        values = values.select(
-            "*",
-            F.lit(None).cast("double").alias("_lt_min_num"),
-            F.lit(None).cast("timestamp").alias("_lt_min_ts"),
-            F.lit(None).cast("string").alias("_lt_min_str"),
-            F.lit(None).cast("array<string>").alias("_lt_kinds"),
-            F.lit(None).cast("long").alias("_lt_n"),
-        )
+    # (no null _lt_* columns when no pair-comparison facet exists — the
+    # LessThan checks below are gated on lt_by_pred)
 
     # --- nested node shapes (sh:node / branch node_ref) --------------------
     # For each referenced shape N: its definition rows get DYNAMIC targets —
@@ -1085,10 +1091,11 @@ def _eval(
     for r in rows:
         for ref in _branch_refs(r):
             ref_cids.setdefault(ref, []).append(r["constraint_id"])
-    bad_flags: list[str] = []
-    bad_map = F.lit(None).cast("map<string,boolean>")
+    # ref → the boolean flag column (on `values`) that is true when the
+    # value node does NOT conform to that nested shape; refs unresolved at
+    # the depth cap are simply absent (→ conforming)
+    ref_flag: dict[str, str] = {}
     if ref_cids and depth < MAX_NESTING_DEPTH:
-        map_args: list[F.Column] = []
         for i, (ref, cids) in enumerate(sorted(ref_cids.items())):
             sub_rows = [d for d in defs if d["nested_under"] == ref]
             flag = f"_bad_{i}"
@@ -1140,16 +1147,10 @@ def _eval(
                 ).withColumn(flag, F.col(f"_badnode_{i}").isNotNull()).drop(
                     f"_badnode_{i}"
                 )
-            bad_flags.append(flag)
-            map_args.extend([F.lit(ref), F.col(flag)])
-        bad_map = F.create_map(*map_args)
+            ref_flag[ref] = flag
 
-    # The fully-assembled value stream feeds two consumers — the per-value
-    # hit explode and the per-value dedup cascade (plus uniqueLang/pairs via
-    # per_value) — and its assembly is the expensive subtree (scans +
-    # semi-join + facet/class/lessThan joins + nested-pass flag joins).
-    # Persist it once under the same bounded-size gate as targets; on the
-    # huge-graph path each consumer recomputes its pruned copy as before.
+    # Persist the narrow assembled stream once under the bounded-size gate;
+    # both consumers (hit explode, per-value dedup cascade) read the cache.
     if _cache_gate(spark, small) and (
         spark.conf.get("spark.kg.validate.cacheValues", "true") == "true"
     ):
@@ -1160,353 +1161,344 @@ def _eval(
     num = F.col("object_value").try_cast("double")
     v_ts = F.try_to_timestamp(F.col("object_value"))
     v_kind = _lt_kind()
+    cid = F.col("constraint_id")
+    v = F.col("object_value")
+    vtype = F.col("object_type")
 
     def _hit(cond: F.Column, comp: str) -> F.Column:
         return F.when(cond, F.lit(comp)).otherwise(F.lit(None).cast("string"))
 
-    nk_allowed = F.create_map(
-        *[
-            x
-            for kind, allowed in _NODE_KIND_SETS.items()
-            for x in (F.lit(kind), F.lit(",".join(allowed)))
-        ]
-    )
+    # ---- literal per-constraint check compilation -------------------------
+    # Shapes are driver-side rows, so every check facet is KNOWN at plan
+    # build: each family compiles to a when-chain keyed on constraint_id,
+    # branches grouped by identical facet value.  Vocabulary lists become
+    # InSet hash probes, regexes compile once per generated class, and the
+    # datatype-validity dispatch constant-folds per branch.  Rows whose
+    # constraint lacks a facet fall through to NULL — exactly the old
+    # isNotNull guard on a joined facet column, but nothing rides the
+    # corpus-sized rows: the r4 stack profile showed the hot stage dominated
+    # by UnsafeRowWriter on ~40-column rows when the full facet table
+    # (branch-struct arrays, message arrays, vocabulary lists) was joined
+    # onto every value occurrence.
+    def _ids_cond(ids: list[int]) -> F.Column:
+        ids = sorted(ids)
+        return cid == ids[0] if len(ids) == 1 else cid.isin(ids)
 
-    def _branch_conf(b) -> F.Column:
-        """Does the current value row conform to branch shape ``b``?
+    def _chain(pairs) -> F.Column | None:
+        """[(ids, bool Column)] -> nullable when-chain (None if empty)."""
+        expr = None
+        for ids, e in pairs:
+            expr = (
+                F.when(_ids_cond(ids), e)
+                if expr is None
+                else expr.when(_ids_cond(ids), e)
+            )
+        return expr
 
-        A branch is the compiled form of an or/and/xone/not operand,
-        sh:node target, or qualifiedValueShape (model.BRANCH_SCHEMA):
-        simple facets evaluate inline against the value columns; a
-        ``node_ref`` resolves through the nested-pass non-conformance map.
-        """
-        return (
-            (
-                b["datatype"].isNull()
-                | (
-                    (F.col("object_type") == "literal")
-                    & (_effective_datatype() == b["datatype"])
-                    & _lexically_valid(b["datatype"])
+    def _grouped(key: str):
+        """[(facet_value, [constraint_ids])] over rows carrying the facet,
+        grouped by identical value so e.g. one vocabulary list shared by
+        many property shapes compiles to one chain branch."""
+        g: dict[str, tuple] = {}
+        for r in rows:
+            val = r.get(key)
+            if val is None:
+                continue
+            g.setdefault(repr(val), (val, []))[1].append(r["constraint_id"])
+        return list(g.values())
+
+    def _branch_conf(b: dict) -> F.Column:
+        """Literal conformance of the current value row to branch ``b`` (an
+        or/and/xone/not operand, sh:node target, or qualifiedValueShape —
+        model.BRANCH_SCHEMA as a driver-side dict).  ``node_ref`` resolves
+        through the nested-pass flag columns; a ref unresolved at the depth
+        cap evaluates as conforming (same as the old null-map lookup)."""
+        parts: list[F.Column] = []
+        if b.get("datatype"):
+            dt = F.lit(b["datatype"])
+            parts.append(
+                (vtype == "literal")
+                & (_effective_datatype() == dt)
+                & _lexically_valid(dt)
+            )
+        if b.get("node_kind"):
+            parts.append(vtype.isin(_NODE_KIND_SETS[b["node_kind"]]))
+        if b.get("class_iri"):
+            parts.append(
+                (vtype != "literal")
+                & F.coalesce(
+                    F.array_contains(F.col("t_classes"), F.lit(b["class_iri"])),
+                    F.lit(False),
                 )
             )
-            & (
-                b["node_kind"].isNull()
-                | F.array_contains(
-                    F.split(nk_allowed[b["node_kind"]], ","), F.col("object_type")
-                )
-            )
-            & (
-                b["class_iri"].isNull()
-                | (
-                    (F.col("object_type") != "literal")
-                    & F.coalesce(
-                        F.array_contains(F.col("t_classes"), b["class_iri"]),
-                        F.lit(False),
-                    )
-                )
-            )
-            & (
-                b["pattern"].isNull()
-                | (
-                    (F.col("object_type") != "bnode")
-                    & F.regexp_like(F.col("object_value"), b["pattern"])
-                )
-            )
-            & (
-                b["min_length"].isNull()
-                | (
-                    (F.col("object_type") != "bnode")
-                    & (F.length("object_value") >= b["min_length"])
-                )
-            )
-            & (
-                b["max_length"].isNull()
-                | (
-                    (F.col("object_type") != "bnode")
-                    & (F.length("object_value") <= b["max_length"])
-                )
-            )
-            & (
-                b["node_ref"].isNull()
-                | ~F.coalesce(F.try_element_at(bad_map, b["node_ref"]), F.lit(False))
-            )
-        )
-    # Per-row check slots are added ONLY for facets some constraint row
-    # actually carries: the checks are correct unconditionally (every hit is
-    # guarded by its facet's isNotNull), but each slot costs whole-stage
-    # codegen size, and the LessThan slot additionally costs a per-row
-    # try_to_timestamp that codegen CSE may hoist past the short-circuit —
-    # so a branch-free shape set (e.g. the DCAT-AP-ES profile suite)
-    # compiles to the same lean plan it had before the logical surface
-    # existed.
+        if b.get("pattern"):
+            parts.append((vtype != "bnode") & F.regexp_like(v, F.lit(b["pattern"])))
+        if b.get("min_length") is not None:
+            parts.append((vtype != "bnode") & (F.length(v) >= b["min_length"]))
+        if b.get("max_length") is not None:
+            parts.append((vtype != "bnode") & (F.length(v) <= b["max_length"]))
+        if b.get("node_ref"):
+            flag = ref_flag.get(b["node_ref"])
+            if flag is not None:
+                parts.append(~F.coalesce(F.col(flag), F.lit(False)))
+        if not parts:
+            return F.lit(True)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+
     def _has(key: str) -> bool:
         return any(r.get(key) is not None for r in rows)
 
-    check_cols = [
-        _hit(
-            F.col("datatype").isNotNull()
-            & (
-                (F.col("object_type") != "literal")
-                | (_effective_datatype() != F.col("datatype"))
-                | ~_lexically_valid()
-            ),
-            "Datatype",
-        ),
-        # sh:or of datatype branches: conforming iff the value is a literal
-        # whose effective datatype matches SOME branch with a valid lexical
-        # form; reported as sh:OrConstraintComponent
-        _hit(
-            F.col("datatype_in").isNotNull()
-            & ~(
-                (F.col("object_type") == "literal")
-                & F.exists(
-                    F.col("datatype_in"),
-                    lambda d: (_effective_datatype() == d) & _lexically_valid(d),
-                )
-            ),
-            "Or",
-        ),
-        _hit(
-            F.col("pattern").isNotNull()
-            & (
-                (F.col("object_type") == "bnode")
-                | ~F.regexp_like(F.col("object_value"), F.col("pattern"))
-            ),
-            "Pattern",
-        ),
-        _hit(
-            F.col("node_kind").isNotNull()
-            & ~F.array_contains(
-                F.split(nk_allowed[F.col("node_kind")], ","), F.col("object_type")
-            ),
-            "NodeKind",
-        ),
-        # sh:in membership compares the LEXICAL form: profile vocabularies
-        # are IRI lists, where lexical identity == term identity; a literal
-        # sharing an IRI's spelling would conflate (documented
-        # simplification vs full RDF-term comparison)
-        _hit(
-            F.col("in_list").isNotNull()
-            & ~F.array_contains(F.col("in_list"), F.col("object_value")),
-            "In",
-        ),
-        # range facets: numeric OR temporal form (xsd:date/dateTime
-        # facets compile to the *_ts columns; a value that does not parse
-        # into the facet's domain violates, per SPARQL '<' semantics)
-        _hit(
+    check_cols: list[F.Column] = []
+
+    def _family(comp: str, pairs) -> None:
+        chain = _chain(pairs)
+        if chain is not None:
+            check_cols.append(_hit(chain, comp))
+
+    _family(
+        "Datatype",
+        [
             (
-                F.col("min_inclusive").isNotNull()
-                & (num.isNull() | (num < F.col("min_inclusive")))
+                ids,
+                (vtype != "literal")
+                | (_effective_datatype() != F.lit(dt))
+                | ~_lexically_valid(F.lit(dt)),
             )
-            | (
-                F.col("min_inclusive_ts").isNotNull()
-                & (v_ts.isNull() | (v_ts < F.to_timestamp(F.col("min_inclusive_ts"))))
-            ),
-            "MinInclusive",
-        ),
-        _hit(
+            for dt, ids in _grouped("datatype")
+        ],
+    )
+    # sh:or of datatype branches: conforming iff the value is a literal
+    # whose effective datatype matches SOME branch with a valid lexical
+    # form; reported as sh:OrConstraintComponent
+    dt_in_pairs = []
+    for dts, ids in _grouped("datatype_in"):
+        conf = None
+        for d in dts:
+            e = (_effective_datatype() == F.lit(d)) & _lexically_valid(F.lit(d))
+            conf = e if conf is None else (conf | e)
+        dt_in_pairs.append(
+            (ids, ~((vtype == "literal") & conf) if conf is not None else F.lit(True))
+        )
+    _family("Or", dt_in_pairs)
+    _family(
+        "Pattern",
+        [
+            (ids, (vtype == "bnode") | ~F.regexp_like(v, F.lit(p)))
+            for p, ids in _grouped("pattern")
+        ],
+    )
+    _family(
+        "NodeKind",
+        [(ids, ~vtype.isin(_NODE_KIND_SETS[k])) for k, ids in _grouped("node_kind")],
+    )
+    # sh:in membership compares the LEXICAL form: profile vocabularies are
+    # IRI lists, where lexical identity == term identity; a literal sharing
+    # an IRI's spelling would conflate (documented simplification vs full
+    # RDF-term comparison)
+    _family(
+        "In",
+        [
+            (ids, ~v.isin(lst) if lst else F.lit(True))
+            for lst, ids in _grouped("in_list")
+        ],
+    )
+    # range facets: numeric OR temporal form (xsd:date/dateTime facets
+    # compile to the *_ts fields; a value that does not parse into the
+    # facet's domain violates, per SPARQL '<' semantics)
+    for comp, num_key, ts_key, mk_num, mk_ts in (
+        ("MinInclusive", "min_inclusive", "min_inclusive_ts",
+         lambda m: num.isNull() | (num < F.lit(m)),
+         lambda m: v_ts.isNull() | (v_ts < F.to_timestamp(F.lit(m)))),
+        ("MaxInclusive", "max_inclusive", "max_inclusive_ts",
+         lambda m: num.isNull() | (num > F.lit(m)),
+         lambda m: v_ts.isNull() | (v_ts > F.to_timestamp(F.lit(m)))),
+        ("MinExclusive", "min_exclusive", "min_exclusive_ts",
+         lambda m: num.isNull() | (num <= F.lit(m)),
+         lambda m: v_ts.isNull() | (v_ts <= F.to_timestamp(F.lit(m)))),
+        ("MaxExclusive", "max_exclusive", "max_exclusive_ts",
+         lambda m: num.isNull() | (num >= F.lit(m)),
+         lambda m: v_ts.isNull() | (v_ts >= F.to_timestamp(F.lit(m)))),
+    ):
+        _family(
+            comp,
+            [(ids, mk_num(m)) for m, ids in _grouped(num_key)]
+            + [(ids, mk_ts(m)) for m, ids in _grouped(ts_key)],
+        )
+    # sh:languageIn: value must be a language-tagged literal whose tag
+    # matches some range in the list with langMatches prefix semantics —
+    # equal, or extending the range at a subtag boundary
+    li_pairs = []
+    for ranges, ids in _grouped("language_in"):
+        lang = F.lower(F.col("object_lang"))
+        conf = None
+        for rng in ranges:
+            e = (lang == rng) | lang.startswith(rng + "-")
+            conf = e if conf is None else (conf | e)
+        li_pairs.append(
             (
-                F.col("max_inclusive").isNotNull()
-                & (num.isNull() | (num > F.col("max_inclusive")))
+                ids,
+                F.col("object_lang").isNull() | ~conf
+                if conf is not None
+                else F.lit(True),
             )
-            | (
-                F.col("max_inclusive_ts").isNotNull()
-                & (v_ts.isNull() | (v_ts > F.to_timestamp(F.col("max_inclusive_ts"))))
-            ),
-            "MaxInclusive",
-        ),
-        _hit(
+        )
+    _family("LanguageIn", li_pairs)
+    _family(
+        "MinLength",
+        [
+            (ids, (vtype == "bnode") | (F.length(v) < n))
+            for n, ids in _grouped("min_length")
+        ],
+    )
+    _family(
+        "MaxLength",
+        [
+            (ids, (vtype == "bnode") | (F.length(v) > n))
+            for n, ids in _grouped("max_length")
+        ],
+    )
+    # sh:class: a literal value can never satisfy it; an IRI/bnode value
+    # satisfies it iff the node->classes lookup contains the class
+    _family(
+        "Class",
+        [
             (
-                F.col("min_exclusive").isNotNull()
-                & (num.isNull() | (num <= F.col("min_exclusive")))
-            )
-            | (
-                F.col("min_exclusive_ts").isNotNull()
-                & (v_ts.isNull() | (v_ts <= F.to_timestamp(F.col("min_exclusive_ts"))))
-            ),
-            "MinExclusive",
-        ),
-        _hit(
-            (
-                F.col("max_exclusive").isNotNull()
-                & (num.isNull() | (num >= F.col("max_exclusive")))
-            )
-            | (
-                F.col("max_exclusive_ts").isNotNull()
-                & (v_ts.isNull() | (v_ts >= F.to_timestamp(F.col("max_exclusive_ts"))))
-            ),
-            "MaxExclusive",
-        ),
-        # sh:languageIn: value must be a language-tagged literal whose tag
-        # matches some range in the list with langMatches prefix semantics —
-        # equal, or extending the range at a subtag boundary ('en-US'
-        # matches range 'en'; 'en-US-x-private' matches range 'en-US')
-        _hit(
-            F.col("language_in").isNotNull()
-            & (
-                F.col("object_lang").isNull()
-                | ~F.exists(
-                    F.col("language_in"),
-                    lambda r: (F.lower(F.col("object_lang")) == r)
-                    | F.lower(F.col("object_lang")).startswith(
-                        F.concat(r, F.lit("-"))
-                    ),
-                )
-            ),
-            "LanguageIn",
-        ),
-        _hit(
-            F.col("min_length").isNotNull()
-            & (
-                (F.col("object_type") == "bnode")
-                | (F.length("object_value") < F.col("min_length"))
-            ),
-            "MinLength",
-        ),
-        _hit(
-            F.col("max_length").isNotNull()
-            & (
-                (F.col("object_type") == "bnode")
-                | (F.length("object_value") > F.col("max_length"))
-            ),
-            "MaxLength",
-        ),
-        # sh:class: a literal value can never satisfy it; an IRI/bnode value
-        # satisfies it iff the node→classes lookup contains the class
-        _hit(
-            F.col("class_iri").isNotNull()
-            & (
-                (F.col("object_type") == "literal")
+                ids,
+                (vtype == "literal")
                 | ~F.coalesce(
-                    F.array_contains(F.col("t_classes"), F.col("class_iri")),
-                    F.lit(False),
-                )
-            ),
-            "Class",
-        ),
-    ]
+                    F.array_contains(F.col("t_classes"), F.lit(c)), F.lit(False)
+                ),
+            )
+            for c, ids in _grouped("class_iri")
+        ],
+    )
     if lt_by_pred:
         # SPARQL-'<' comparison domains: both sides numeric, both dateTime,
         # or both plain strings compare within the domain; mixed domains or
-        # non-literals are a comparison failure → violation
+        # non-literals are a comparison failure -> violation
         _lt_incomparable = (
             (F.size("_lt_kinds") > 1)
             | F.array_contains("_lt_kinds", "bad")
             | (v_kind == "bad")
             | (v_kind != F.element_at("_lt_kinds", 1))
         )
-        if any(r.get("less_than") for r in rows):
+        lt_ids = [r["constraint_id"] for r in rows if r.get("less_than")]
+        lte_ids = [r["constraint_id"] for r in rows if r.get("less_than_or_equals")]
+        if lt_ids:
             check_cols.append(
                 _hit(
-                    F.col("less_than").isNotNull()
+                    _ids_cond(lt_ids)
                     & F.col("_lt_n").isNotNull()
                     & (
                         _lt_incomparable
                         | ((v_kind == "num") & (num >= F.col("_lt_min_num")))
                         | ((v_kind == "ts") & (v_ts >= F.col("_lt_min_ts")))
-                        | (
-                            (v_kind == "str")
-                            & (F.col("object_value") >= F.col("_lt_min_str"))
-                        )
+                        | ((v_kind == "str") & (v >= F.col("_lt_min_str")))
                     ),
                     "LessThan",
                 )
             )
-        if any(r.get("less_than_or_equals") for r in rows):
+        if lte_ids:
             check_cols.append(
                 _hit(
-                    F.col("less_than_or_equals").isNotNull()
+                    _ids_cond(lte_ids)
                     & F.col("_lt_n").isNotNull()
                     & (
                         _lt_incomparable
                         | ((v_kind == "num") & (num > F.col("_lt_min_num")))
                         | ((v_kind == "ts") & (v_ts > F.col("_lt_min_ts")))
-                        | (
-                            (v_kind == "str")
-                            & (F.col("object_value") > F.col("_lt_min_str"))
-                        )
+                        | ((v_kind == "str") & (v > F.col("_lt_min_str")))
                     ),
                     "LessThanOrEquals",
                 )
             )
-    # --- logical / nested components (SHACL core §4.6-4.7) ----------------
-    if _has("node_branch"):
-        check_cols.append(
-            _hit(
-                F.col("node_branch").isNotNull()
-                & ~_branch_conf(F.col("node_branch")),
-                "Node",
-            )
+    # --- logical / nested components (SHACL core 4.6-4.7) -----------------
+    _family(
+        "Node",
+        [
+            ([r["constraint_id"]], ~_branch_conf(r["node_branch"]))
+            for r in rows
+            if r.get("node_branch") is not None
+        ],
+    )
+    or_pairs = []
+    for r in rows:
+        if r.get("or_branches") is None:
+            continue
+        conf = None
+        for b in r["or_branches"]:
+            e = _branch_conf(b)
+            conf = e if conf is None else (conf | e)
+        or_pairs.append(
+            ([r["constraint_id"]], ~conf if conf is not None else F.lit(True))
         )
-    if _has("or_branches"):
-        check_cols.append(
-            _hit(
-                F.col("or_branches").isNotNull()
-                & ~F.exists(F.col("or_branches"), _branch_conf),
-                "Or",
-            )
+    _family("Or", or_pairs)
+    and_pairs = []
+    for r in rows:
+        if r.get("and_branches") is None:
+            continue
+        conf = None
+        for b in r["and_branches"]:
+            e = _branch_conf(b)
+            conf = e if conf is None else (conf & e)
+        and_pairs.append(
+            ([r["constraint_id"]], ~conf if conf is not None else F.lit(False))
         )
-    if _has("and_branches"):
-        check_cols.append(
-            _hit(
-                F.col("and_branches").isNotNull()
-                & F.exists(F.col("and_branches"), lambda b: ~_branch_conf(b)),
-                "And",
-            )
+    _family("And", and_pairs)
+    xone_pairs = []
+    for r in rows:
+        if r.get("xone_branches") is None:
+            continue
+        n_conf = None
+        for b in r["xone_branches"]:
+            e = _branch_conf(b).cast("int")
+            n_conf = e if n_conf is None else (n_conf + e)
+        xone_pairs.append(
+            ([r["constraint_id"]], (n_conf != 1) if n_conf is not None else F.lit(True))
         )
-    if _has("xone_branches"):
-        check_cols.append(
-            _hit(
-                F.col("xone_branches").isNotNull()
-                & (F.size(F.filter(F.col("xone_branches"), _branch_conf)) != 1),
-                "Xone",
-            )
-        )
-    if _has("not_branch"):
-        check_cols.append(
-            _hit(
-                F.col("not_branch").isNotNull() & _branch_conf(F.col("not_branch")),
-                "Not",
-            )
-        )
-    checks = F.array(*check_cols)
+    _family("Xone", xone_pairs)
+    _family(
+        "Not",
+        [
+            ([r["constraint_id"]], _branch_conf(r["not_branch"]))
+            for r in rows
+            if r.get("not_branch") is not None
+        ],
+    )
 
     # Per-value violations explode DIRECTLY off the value stream, one
     # constant-width row per hit, with NO aggregation: duplicate graph
     # assertions of the same (s,p,o) produce identical violation rows that
-    # the final result-identity dropDuplicates collapses (set semantics land
-    # there either way, and its partial aggregation dedups hub duplicates
-    # map-side).  Round 2 instead merged every hit of a focus node into one
-    # collect_list array on the per-focus row — a hub focus with millions of
-    # violating values built a multi-million-element array in one
-    # aggregation buffer (VERDICT r2 "what's wrong" #1) — and the first
-    # de-skew cut carried hit-struct arrays through a per-value aggregate,
-    # paying a sort-aggregate over structs plus a shuffle of the arrays for
-    # a dedup the result already performs.
-    # array_compact + explode, not F.filter/F.transform: higher-order
-    # functions are CodegenFallback — interpreted per row with per-element
-    # closures and allocations (the r4 profile put most of the value-stage
-    # CPU there) — while array_compact of a plain array plus explode stays
-    # inside whole-stage codegen.  explode skips the (common) fully-null
-    # rows via the empty compacted array, and object_value is still on the
-    # row, so no struct wrap is needed.
-    value_rows = (
-        values.withColumn("_hc", F.explode(F.array_compact(checks)))
-        .select(
-            "constraint_id",
-            "focusNode",
-            "object_value",
-            F.concat(F.lit(SH), F.col("_hc"), F.lit("ConstraintComponent")).alias(
-                "_comp"
-            ),
-            "path",
-            "severity",
-            "messages",
-            "shape_iri",
-            "foaf_page",
-        )
+    # the final result-identity dropDuplicates collapses.  array_compact +
+    # explode, not F.filter/F.transform: higher-order functions are
+    # CodegenFallback (interpreted per row); the compacted plain array stays
+    # inside whole-stage codegen and explode skips the (common) fully-null
+    # rows via the empty compacted array.  Result METADATA (path, severity,
+    # messages, shape, foaf:page) joins onto this violation-sized stream —
+    # the broadcast facet join the corpus-sized stream used to pay.
+    meta = facets.select(
+        "constraint_id", "path", "severity", "messages", "shape_iri", "foaf_page"
     )
-    result = _as_violations(value_rows, F.col("_comp"), F.col("object_value"))
+    if check_cols:
+        checks = F.array(*check_cols)
+        value_rows = (
+            values.withColumn("_hc", F.explode(F.array_compact(checks)))
+            .select(
+                "constraint_id",
+                "focusNode",
+                "object_value",
+                F.concat(F.lit(SH), F.col("_hc"), F.lit("ConstraintComponent")).alias(
+                    "_comp"
+                ),
+            )
+            .join(F.broadcast(meta), "constraint_id")
+        )
+        result = _as_violations(value_rows, F.col("_comp"), F.col("object_value"))
+    else:
+        result = local_df(spark, [], VIOLATION_SCHEMA)
 
     # cascade level 1 for the COUNTING components only: one row per distinct
     # value node (full RDF-term identity — a bare countDistinct(value) would
@@ -1514,6 +1506,25 @@ def _eval(
     # duplicate collapse happens map-side here.  No hit arrays ride this
     # shuffle — the flags are cheap deterministic per-node expressions, and
     # Catalyst prunes every check expression out of this branch.
+    # sh:hasValue satisfaction / sh:qualifiedValueShape conformance flags as
+    # literal chains (deterministic per group key); with
+    # sh:qualifiedValueShapesDisjoint the node must additionally NOT conform
+    # to any sibling qualified shape (SHACL §4.5.3)
+    hv_chain = _chain([(ids, v == F.lit(hv)) for hv, ids in _grouped("has_value")])
+    q_pairs = []
+    for r in rows:
+        if r.get("qvs_branch") is None:
+            continue
+        conf = _branch_conf(r["qvs_branch"])
+        if r.get("qvs_disjoint") and r.get("qvs_sibling_branches"):
+            sib = None
+            for b in r["qvs_sibling_branches"]:
+                e = _branch_conf(b)
+                sib = e if sib is None else (sib | e)
+            if sib is not None:
+                conf = conf & ~sib
+        q_pairs.append(([r["constraint_id"]], conf))
+    q_chain = _chain(q_pairs)
     per_value = (
         values.select(
             "constraint_id",
@@ -1522,29 +1533,14 @@ def _eval(
             "object_type",
             "object_datatype",
             "object_lang",
-            # sh:hasValue satisfaction flag; deterministic per group key
             (
-                F.col("has_value").isNotNull()
-                & (F.col("object_value") == F.col("has_value"))
+                F.coalesce(hv_chain, F.lit(False))
+                if hv_chain is not None
+                else F.lit(False)
             ).alias("_hv"),
-            # sh:qualifiedValueShape conformance flag per value node; with
-            # sh:qualifiedValueShapesDisjoint the node must additionally
-            # NOT conform to any sibling qualified shape (SHACL §4.5.3)
             (
-                (
-                    F.col("qvs_branch").isNotNull()
-                    & _branch_conf(F.col("qvs_branch"))
-                    & ~(
-                        F.coalesce(F.col("qvs_disjoint"), F.lit(False))
-                        & F.coalesce(
-                            F.exists(
-                                F.col("qvs_sibling_branches"), _branch_conf
-                            ),
-                            F.lit(False),
-                        )
-                    )
-                )
-                if _has("qvs_branch")
+                F.coalesce(q_chain, F.lit(False))
+                if q_chain is not None
                 else F.lit(False)
             ).alias("_q"),
         )
