@@ -207,6 +207,14 @@ CONSTRAINT_SCHEMA = T.StructType(
         # this row belongs to; such rows have no target_* and are evaluated
         # only via node_ref references (dynamic targets = parent value nodes)
         T.StructField("nested_under", T.StringType(), True),
+        # sh:sparql SELECT constraint (SHACL §5.3): the query text plus the
+        # resolved prefix table it compiles under (shapes/sparql.py).  Kept
+        # in the exported schema so constraints_df round-trips sh:sparql
+        # rows instead of silently dropping them (r3 ADVICE #2)
+        T.StructField("sparql_select", T.StringType(), True),
+        T.StructField(
+            "sparql_prefixes", T.MapType(T.StringType(), T.StringType()), True
+        ),
         T.StructField("severity", T.StringType(), False),
         T.StructField("messages", MESSAGE_SCHEMA, True),
         T.StructField("foaf_page", T.StringType(), True),

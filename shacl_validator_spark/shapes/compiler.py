@@ -586,6 +586,8 @@ _ROW_DEFAULTS = {
     "qvs_disjoint": None,
     "qvs_sibling_branches": None,
     "nested_under": None,
+    "sparql_select": None,
+    "sparql_prefixes": None,
 }
 
 # constraint predicates a branch shape may carry as pure per-value facets

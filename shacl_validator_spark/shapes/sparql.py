@@ -15,12 +15,20 @@ actually use in their sh:sparql constraints:
   ``isLiteral``;
 - ``FILTER NOT EXISTS { … }`` — the absent-pattern idiom (compiled to a
   left-anti join on the shared variables);
+- ``OPTIONAL { … }`` — a left outer join on the variables shared with the
+  surrounding pattern (r4: the published-profile idiom for "flag when the
+  property is missing or malformed");
+- ``{ … } UNION { … }`` — alternatives evaluated independently and
+  unioned by name; each alternative must bind every variable shared with
+  the surrounding pattern (unbound-compatible join semantics stay outside
+  the subset and raise);
+- ``BIND(expr AS ?v)`` — a projected column;
 - ``$this`` pre-binding (SHACL §5.3.1): the result is intersected with the
   shape's target set per constraint.
 
-Anything outside the subset (OPTIONAL, UNION, subqueries, property paths,
-aggregates, BIND, VALUES) raises ``SparqlUnsupported`` at compile time —
-an unsupported published constraint is SURFACED, never silently dropped
+Anything outside the subset (subqueries, property paths, aggregates,
+VALUES, MINUS, GRAPH) raises ``SparqlUnsupported`` at compile time — an
+unsupported published constraint is SURFACED, never silently dropped
 (the round-2 ADVICE lesson on vanishing sh:or branches).
 
 Spark-first shape: every triple pattern is one predicate-pushed scan of
@@ -61,11 +69,26 @@ class TriplePattern:
 
 
 @dataclass
+class Group:
+    """One group graph pattern: BGP + filters + the supported operators."""
+
+    patterns: list[TriplePattern] = field(default_factory=list)
+    filters: list = field(default_factory=list)  # expr ASTs
+    not_exists: list[list[TriplePattern]] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
+    unions: list[list["Group"]] = field(default_factory=list)
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
+
+
+@dataclass
 class SelectQuery:
     project: list[str]
     patterns: list[TriplePattern] = field(default_factory=list)
     filters: list = field(default_factory=list)  # expr ASTs
     not_exists: list[list[TriplePattern]] = field(default_factory=list)
+    optionals: list[Group] = field(default_factory=list)
+    unions: list[list[Group]] = field(default_factory=list)
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
 
 
 # --- tokenizer -------------------------------------------------------------
@@ -92,7 +115,7 @@ _KEYWORDS = {
     "select", "where", "filter", "not", "exists", "prefix", "a", "regex",
     "str", "lang", "datatype", "bound", "isiri", "isuri", "isblank",
     "isliteral", "true", "false", "optional", "union", "bind", "values",
-    "minus", "graph", "distinct",
+    "minus", "graph", "distinct", "as",
 }
 
 
@@ -179,35 +202,65 @@ class _P:
         raise SparqlUnsupported(f"sparql: unexpected term {val!r}")
 
     # -- group graph pattern --
-    def group(self) -> tuple[list[TriplePattern], list, list[list[TriplePattern]]]:
+    def group(self) -> Group:
         self.expect("{")
-        patterns: list[TriplePattern] = []
-        filters: list = []
-        nexists: list[list[TriplePattern]] = []
+        g = Group()
         while not self.at("}"):
             t = self.peek()
             if t is None:
                 raise SparqlUnsupported("sparql: unterminated group")
             low = t[1].lower()
-            if low in ("optional", "union", "bind", "values", "minus", "graph"):
+            if low in ("values", "minus", "graph", "select"):
                 raise SparqlUnsupported(f"sparql: {t[1]} is outside the subset")
             if t[1] == "{":
-                raise SparqlUnsupported(
-                    "sparql: nested groups (UNION / group grouping) are outside the subset"
-                )
+                # nested group: only meaningful as a UNION alternative chain
+                alts = [self.group()]
+                while self.at("union"):
+                    self.next()
+                    alts.append(self.group())
+                if len(alts) == 1:
+                    raise SparqlUnsupported(
+                        "sparql: bare nested group (no UNION) is outside the subset"
+                    )
+                g.unions.append(alts)
+                if self.at("."):
+                    self.next()
+                continue
+            if low == "optional":
+                self.next()
+                g.optionals.append(self.group())
+                if self.at("."):
+                    self.next()
+                continue
+            if low == "bind":
+                self.next()
+                self.expect("(")
+                e = self.expr()
+                self.expect("as")
+                k, v = self.next()
+                if k != "var":
+                    raise SparqlUnsupported("sparql: BIND expects a variable after AS")
+                self.expect(")")
+                g.binds.append((v[1:], e))
+                if self.at("."):
+                    self.next()
+                continue
             if low == "filter":
                 self.next()
                 if self.at("not"):
                     self.next()
                     self.expect("exists")
-                    sub_p, sub_f, sub_n = self.group()
-                    if sub_f or sub_n:
+                    sub = self.group()
+                    if (
+                        sub.filters or sub.not_exists or sub.optionals
+                        or sub.unions or sub.binds
+                    ):
                         raise SparqlUnsupported(
-                            "sparql: nested FILTER inside NOT EXISTS is outside the subset"
+                            "sparql: only plain patterns inside NOT EXISTS are in the subset"
                         )
-                    nexists.append(sub_p)
+                    g.not_exists.append(sub.patterns)
                 else:
-                    filters.append(self.expr())
+                    g.filters.append(self.expr())
                 if self.at("."):
                     self.next()
                 continue
@@ -217,7 +270,7 @@ class _P:
                 p = self.term()
                 while True:
                     o = self.term()
-                    patterns.append(TriplePattern(s, p, o))
+                    g.patterns.append(TriplePattern(s, p, o))
                     if self.at(","):
                         self.next()
                         continue
@@ -231,7 +284,7 @@ class _P:
             if self.at("."):
                 self.next()
         self.expect("}")
-        return patterns, filters, nexists
+        return g
 
     # -- expressions (precedence: || < && < cmp < unary) --
     def expr(self):
@@ -322,14 +375,16 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> SelectQue
             raise SparqlUnsupported("sparql: SELECT * is outside the subset")
         break
     p.expect("where")
-    patterns, filters, nexists = p.group()
+    g = p.group()
     if p.peek() is not None:
         raise SparqlUnsupported(f"sparql: trailing tokens at {p.peek()[1]!r}")
     if "this" not in project:
         raise SparqlUnsupported("sparql: SHACL SELECT constraints must project $this")
-    if not patterns:
+    if not g.patterns and not g.unions:
         raise SparqlUnsupported("sparql: empty graph pattern")
-    return SelectQuery(project, patterns, filters, nexists)
+    return SelectQuery(
+        project, g.patterns, g.filters, g.not_exists, g.optionals, g.unions, g.binds
+    )
 
 
 # --- evaluation ------------------------------------------------------------
@@ -382,7 +437,13 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
             cols.append(F.col("predicate").alias(f"v_{tp.p[1]}"))
     if tp.o[0] == "var":
         if tp.o[1] in seen:
-            df = df.filter(F.col("object_value") == F.col(seen[tp.o[1]]))
+            # repeated variable (?x <p> ?x): subjects/predicates are IRIs or
+            # bnodes, so a literal object lexically equal to them must not
+            # bind (RDF term identity, not lexical identity)
+            df = df.filter(
+                (F.col("object_value") == F.col(seen[tp.o[1]]))
+                & (F.col("object_type") != "literal")
+            )
         else:
             seen[tp.o[1]] = "object_value"
             cols.append(F.col("object_value").alias(f"v_{tp.o[1]}"))
@@ -517,7 +578,76 @@ def _cmp_dynamic(op: str, a: Column, b: Column) -> Column:
     )
 
 
-def _expr_col(e) -> Column:
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_NUM_DTS = [
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+        "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+        "unsignedByte",
+    )
+]
+_TS_DTS = [XSD + "dateTime", XSD + "date"]
+
+
+def _term_meta(e, cols: set[str] | None):
+    """(value, term_type, effective_datatype, lang) Columns for a PLAIN term
+    expression, else None (calls and boolean compositions keep the plain
+    lexical comparison).  ``cols`` is the binding relation's column set —
+    a variable without aux columns was bound in subject/predicate position,
+    an IRI or blank node by construction."""
+    if e[0] != "term":
+        return None
+    t = e[1]
+    null_s = F.lit(None).cast("string")
+    if t[0] == "var":
+        v = f"v_{t[1]}"
+        if cols is not None and f"{v}__type" in cols:
+            return (
+                F.col(v),
+                F.col(f"{v}__type"),
+                F.when(
+                    F.col(f"{v}__lang").isNotNull(), F.lit(RDF_LANGSTRING)
+                ).otherwise(F.coalesce(F.col(f"{v}__dt"), F.lit(XSD + "string"))),
+                F.lower(F.col(f"{v}__lang")),
+            )
+        # no aux columns: bound in subject/predicate position OR produced by
+        # BIND — term kind unknown here, keep the plain lexical comparison
+        return None
+    if t[0] == "iri":
+        return (F.lit(t[1]), F.lit("iri"), null_s, null_s)
+    _, val, dt, lang = t
+    if lang is not None:
+        return (F.lit(val), F.lit("literal"), F.lit(RDF_LANGSTRING), F.lit(lang.lower()))
+    return (F.lit(val), F.lit("literal"), F.lit(dt or XSD + "string"), null_s)
+
+
+def _rdf_eq(op: str, am, bm) -> Column:
+    """SPARQL RDFterm-equal for = / != (r3 ADVICE #1): two literals that are
+    neither value-comparable (shared numeric/temporal domain) nor
+    same-kind (equal effective datatype + language tag) raise a TYPE ERROR
+    — the solution is ELIMINATED (NULL, which a FILTER drops) rather than
+    compared lexically, for = and != alike.  A literal never equals an
+    IRI/bnode (false, not an error)."""
+    av, aty, adt, alang = am
+    bv, bty, bdt, blang = bm
+    both_lit = (aty == "literal") & (bty == "literal")
+    comparable = (
+        (adt.isin(_NUM_DTS) & bdt.isin(_NUM_DTS))
+        | (adt.isin(_TS_DTS) & bdt.isin(_TS_DTS))
+        | (adt.eqNullSafe(bdt) & alang.eqNullSafe(blang))
+    )
+    eq = (
+        F.when(both_lit & ~comparable, F.lit(None).cast("boolean"))
+        .when(aty != bty, F.lit(False))
+        .otherwise(_cmp_dynamic("=", av, bv))
+    )
+    return eq if op == "=" else ~eq  # ~NULL stays NULL (still eliminated)
+
+
+def _expr_col(e, cols: set[str] | None = None) -> Column:
     kind = e[0]
     if kind == "term":
         t = e[1]
@@ -527,13 +657,17 @@ def _expr_col(e) -> Column:
             return F.lit(t[1])
         return F.lit(t[1])  # literal → its lexical form
     if kind == "and":
-        return _expr_col(e[1]) & _expr_col(e[2])
+        return _expr_col(e[1], cols) & _expr_col(e[2], cols)
     if kind == "or":
-        return _expr_col(e[1]) | _expr_col(e[2])
+        return _expr_col(e[1], cols) | _expr_col(e[2], cols)
     if kind == "not":
-        return ~_expr_col(e[1])
+        return ~_expr_col(e[1], cols)
     if kind == "cmp":
-        return _cmp_dynamic(e[1], _expr_col(e[2]), _expr_col(e[3]))
+        if e[1] in ("=", "!="):
+            am, bm = _term_meta(e[2], cols), _term_meta(e[3], cols)
+            if am is not None and bm is not None:
+                return _rdf_eq(e[1], am, bm)
+        return _cmp_dynamic(e[1], _expr_col(e[2], cols), _expr_col(e[3], cols))
     if kind == "call":
         name, args = e[1], e[2]
         if name == "regex":
@@ -542,9 +676,9 @@ def _expr_col(e) -> Column:
             pat = _const_str(args[1])
             if len(args) == 3 and "i" in _const_str(args[2]):
                 pat = "(?i)" + pat
-            return _expr_col(args[0]).rlike(pat)
+            return _expr_col(args[0], cols).rlike(pat)
         if name == "str":
-            return _expr_col(args[0])
+            return _expr_col(args[0], cols)
         if name in ("lang", "datatype", "bound", "isiri", "isuri", "isblank", "isliteral"):
             t = args[0]
             if t[0] != "term" or t[1][0] != "var":
@@ -571,30 +705,119 @@ def _const_str(e) -> str:
     raise SparqlUnsupported("sparql: expected a string constant")
 
 
-def eval_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
-    """Evaluate the query over the triples relation; returns one column per
-    projected variable (named after the variable, ``$this`` → ``this``)."""
-    acc = _eval_bgp(triples, q.patterns)
-    for fe in q.filters:
-        acc = acc.filter(_expr_col(fe))
-    for sub in q.not_exists:
+def _shared_vars(acc: DataFrame, other: DataFrame) -> list[str]:
+    return sorted(
+        c[2:]
+        for c in other.columns
+        if c in acc.columns
+        and c.startswith("v_")
+        and not any(c.endswith(a) for a in _AUX)
+    )
+
+
+def _with_aux(df: DataFrame, want_aux: set[str]) -> DataFrame:
+    """Normalize UNION alternatives: when another alternative carries aux
+    columns for a variable this one bound in subject/predicate position,
+    synthesize them (IRI/bnode by construction) so unionByName does not
+    leave NULL term-type slots that break downstream term-identity joins."""
+    cols = set(df.columns)
+    out = df
+    for base in want_aux:
+        if base in cols and f"{base}__type" not in cols:
+            out = (
+                out.withColumn(
+                    f"{base}__type",
+                    F.when(F.col(base).startswith("_:"), F.lit("bnode")).otherwise(
+                        F.lit("iri")
+                    ),
+                )
+                .withColumn(f"{base}__dt", F.lit(None).cast("string"))
+                .withColumn(f"{base}__lang", F.lit(None).cast("string"))
+            )
+    return out
+
+
+def _group_df(triples: DataFrame, g: Group) -> DataFrame:
+    """Evaluate one group graph pattern to a binding relation.
+
+    Order: BGP → UNION blocks → OPTIONAL left joins → BIND columns →
+    FILTER predicates → NOT EXISTS anti-joins.  For queries inside the
+    pre-r4 subset the plan is identical to the old eval path."""
+    acc = _eval_bgp(triples, g.patterns) if g.patterns else None
+    for alts in g.unions:
+        alt_dfs = [_group_df(triples, a) for a in alts]
+        aux_bases = {
+            c[: -len("__type")]
+            for d in alt_dfs
+            for c in d.columns
+            if c.endswith("__type")
+        }
+        alt_dfs = [_with_aux(d, aux_bases) for d in alt_dfs]
+        u = alt_dfs[0]
+        for d in alt_dfs[1:]:
+            u = u.unionByName(d, allowMissingColumns=True)
+        if acc is None:
+            acc = u
+            continue
+        shared = _shared_vars(acc, u)
+        if not shared:
+            raise SparqlUnsupported(
+                "sparql: UNION block must share a variable with the surrounding pattern"
+            )
+        for d in alt_dfs:
+            missing = [v for v in shared if f"v_{v}" not in d.columns]
+            if missing:
+                raise SparqlUnsupported(
+                    "sparql: UNION alternative does not bind shared variable(s) "
+                    f"{missing} (unbound-compatible joins are outside the subset)"
+                )
+        acc = _join_on_vars(acc, u, shared)
+    for og in g.optionals:
+        if acc is None:
+            raise SparqlUnsupported(
+                "sparql: OPTIONAL with no preceding pattern is outside the subset"
+            )
+        od = _group_df(triples, og)
+        shared = _shared_vars(acc, od)
+        if not shared:
+            raise SparqlUnsupported(
+                "sparql: OPTIONAL must share a variable with the outer pattern"
+            )
+        acc = _join_on_vars(acc, od, shared, how="left")
+    for name, e in g.binds:
+        if acc is None:
+            raise SparqlUnsupported(
+                "sparql: BIND with no preceding pattern is outside the subset"
+            )
+        if f"v_{name}" in acc.columns:
+            raise SparqlUnsupported(f"sparql: BIND reassigns ?{name}")
+        acc = acc.withColumn(f"v_{name}", _expr_col(e, set(acc.columns)))
+    if acc is None:
+        raise SparqlUnsupported("sparql: empty graph pattern")
+    for fe in g.filters:
+        acc = acc.filter(_expr_col(fe, set(acc.columns)))
+    for sub in g.not_exists:
         sub_df = _eval_bgp(triples, sub)
-        shared = sorted(
-            c[2:]
-            for c in sub_df.columns
-            if c in acc.columns
-            and c.startswith("v_")
-            and not any(c.endswith(a) for a in _AUX)
-        )
+        shared = _shared_vars(acc, sub_df)
         if not shared:
             raise SparqlUnsupported(
                 "sparql: NOT EXISTS must share a variable with the outer pattern"
             )
         acc = _join_on_vars(acc, sub_df, shared, how="left_anti")
+    return acc
+
+
+def eval_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
+    """Evaluate the query over the triples relation; returns one column per
+    projected variable (named after the variable, ``$this`` → ``this``)."""
+    root = Group(
+        q.patterns, q.filters, q.not_exists, q.optionals, q.unions, q.binds
+    )
+    acc = _group_df(triples, root)
     missing = [v for v in q.project if f"v_{v}" not in acc.columns]
     if missing:
         raise SparqlUnsupported(f"sparql: projected variables never bound: {missing}")
     return acc.select(*[F.col(f"v_{v}").alias(v) for v in q.project]).dropDuplicates()
 
 
-__all__ = ["parse_select", "eval_select", "SelectQuery", "SparqlUnsupported"]
+__all__ = ["parse_select", "eval_select", "SelectQuery", "Group", "SparqlUnsupported"]

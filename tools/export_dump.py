@@ -8,7 +8,7 @@ part file; no driver collect at any size).
 
 Usage:
   PYTHONPATH=/root/repo python tools/export_dump.py TRIPLES_PARQUET DEST_DIR \
-      [--quads] [--parts N]
+      [--quads] [--parts N] [--overwrite]
 
 ``--quads`` keeps per-graph provenance as N-Quads labels; ``--parts``
 coalesces/repartitions the output file count (dumps ship best as many
@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("dest", help="output directory for the dump part files")
     ap.add_argument("--quads", action="store_true", help="emit N-Quads graph labels")
     ap.add_argument("--parts", type=int, default=0, help="output part-file count")
+    ap.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="replace DEST_DIR if it already exists (default: refuse)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="export_dump")
@@ -40,7 +45,9 @@ def main() -> int:
     lines = ntriples_lines(df, quads=args.quads)
     if args.parts > 0:
         lines = lines.repartition(args.parts)
-    lines.write.mode("overwrite").text(args.dest)
+    # refuse to clobber an existing destination unless asked (r3 ADVICE #4:
+    # an unconditional overwrite silently deleted pre-existing directories)
+    lines.write.mode("overwrite" if args.overwrite else "error").text(args.dest)
     n = spark.read.text(args.dest).count()
     print(f"exported {n} statements to {args.dest}")
     return 0
