@@ -204,6 +204,33 @@ def run_bench(
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # Iceberg MERGE seam (VERDICT r3 #7): when the Iceberg runtime is on
+    # the classpath the REAL `MERGE INTO` runs on a deterministic batch and
+    # its inserted/replay counts are compared against the parquet
+    # emulation; in the jar-less sandbox this records the documented
+    # fallback instead.  Untimed — it attributes the merge path, it is not
+    # a headline number.
+    from shacl_validator_spark.model import TRIPLE_SCHEMA  # noqa: F401
+    from shacl_validator_spark.plans.merge import bench_iceberg_merge
+
+    ice_batch = (
+        spark.range(10_000)
+        .selectExpr(
+            "concat('e:', id % 2000) AS subject",
+            "concat('p:', id % 7) AS predicate",
+            "cast(id as string) AS object_value",
+            "'literal' AS object_type",
+            "cast(null as string) AS object_datatype",
+            "cast(null as string) AS object_lang",
+            "'bench' AS graph",
+        )
+    )
+    ice_dir = tempfile.mkdtemp(prefix="bench_ice_")
+    try:
+        iceberg_merge = bench_iceberg_merge(spark, ice_batch, ice_dir)
+    finally:
+        shutil.rmtree(ice_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     # Host-contention witness: this sandbox is a VM on a shared host, and
     # hypervisor steal has been measured anywhere from ~0% to >25% under
@@ -233,6 +260,7 @@ def run_bench(
         "bench_reps": reps,
         "kg_pipeline_pg2_sec": pg2_wall,
         "pg2_merged_equal": pg2_merged_equal,
+        "iceberg_merge": iceberg_merge,
         "host_steal_pct": steal_pct,
     }
 

@@ -162,3 +162,68 @@ def merge_triples_iceberg(
         return int(row[0]["summary"].get("added-records", 0)) if row else 0
     finally:
         spark.catalog.dropTempView("_merge_batch_src")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session's classpath
+    (``SparkCatalog`` loadable) — the gate for the real ``MERGE INTO``
+    path.  The sandbox image carries no Iceberg jars, so this is False
+    there; on a cluster submit with
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-<ver>`` it
+    flips true with no code change."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def bench_iceberg_merge(
+    spark: SparkSession, batch: DataFrame, warehouse_dir: str, n_buckets: int = 32
+) -> dict:
+    """Dual-path MERGE equivalence probe for the bench (VERDICT r3 #7).
+
+    When the Iceberg runtime is present: configures a local hadoop catalog
+    at ``warehouse_dir`` (runtime conf — catalogs instantiate lazily),
+    creates a bucket-partitioned triple table, runs the REAL ``MERGE
+    INTO`` twice with the same batch (second run must insert 0 — the
+    replay-idempotence contract), runs the parquet emulation on the same
+    batch, and reports both counts plus their equality.
+
+    Without the runtime it returns a documented-fallback record instead of
+    failing — the bench stays runnable in the jar-less sandbox while the
+    JSON shows exactly which path was measured."""
+    import tempfile
+
+    if not iceberg_available(spark):
+        return {
+            "status": "unavailable",
+            "detail": "Iceberg runtime not on classpath; parquet emulation "
+            "is the measured MERGE path (documented fallback)",
+        }
+    cat = "kg_bench_ice"
+    spark.conf.set(f"spark.sql.catalog.{cat}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{cat}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{cat}.warehouse", warehouse_dir)
+    table = f"{cat}.db.triples_bench"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    cols = ", ".join(f"{c} STRING" for c in MERGE_KEY)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, subject))"
+    )
+    inserted1 = merge_triples_iceberg(spark, table, batch)
+    inserted2 = merge_triples_iceberg(spark, table, batch)  # replay → 0
+    emu_dir = tempfile.mkdtemp(prefix="kg_merge_emu_")
+    emu1 = merge_triples(spark, os.path.join(emu_dir, "t"), batch, n_buckets=n_buckets)
+    emu2 = merge_triples(spark, os.path.join(emu_dir, "t"), batch, n_buckets=n_buckets)
+    return {
+        "status": "ran",
+        "iceberg_inserted": inserted1,
+        "iceberg_replay_inserted": inserted2,
+        "emulation_inserted": emu1,
+        "emulation_replay_inserted": emu2,
+        "counts_equal": inserted1 == emu1 and inserted2 == emu2 == 0,
+    }

@@ -3,6 +3,7 @@
 compare row count, column names, and an order-insensitive value hash.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [names...]
+       [--json OUT.json]   # also write a driver-format correctness artifact
 """
 
 from __future__ import annotations
@@ -43,8 +44,14 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +60,7 @@ def main() -> int:
     qs = queries()
     oracles = oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -63,9 +71,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
             print(f"FAIL {name}: spark error: {e}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"{type(e).__name__}: {e}"}
             continue
         if name not in oracles:
             print(f"okro {name}: rows-only ({len(srows)} rows)")
+            records[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -74,8 +85,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"duckdb: {e}"}
             continue
         scols_l = [c.lower() for c in scols]
+        rec = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols_l) == sorted(dcols),
+            "hash_match": False,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
+        records[name] = rec
         if sorted(scols_l) != sorted(dcols):
             failures.append((name, f"schema {scols_l} vs {dcols}"))
             print(f"FAIL {name}: schema {scols_l} vs {dcols}")
@@ -98,10 +120,17 @@ def main() -> int:
             print("  only-spark:", sorted(s_set - d_set)[:3])
             print("  only-duck :", sorted(d_set - s_set)[:3])
         else:
+            rec["hash_match"] = True
             print(f"OK   {name}: {len(srows)} rows hash={sh}")
     print(f"\n{len(failures)} failures")
     for n, msg in failures:
         print(" -", n, msg)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     return 1 if failures else 0
 
 
