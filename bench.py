@@ -63,6 +63,12 @@ def run_bench(
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
+    # saturated local[N]: Python workers compete with the JVM for the same
+    # cores, which is the regime where the extractor's JVM-side sentence
+    # prune wins (+30% pages/s measured r4; see sources/extract.py) — the
+    # same regime as a real cluster with workers on executor cores.  The
+    # 1-core-executor scaling protocol (tools/run_scaling.py) keeps it off.
+    spark.conf.set("spark.kg.extract.pruneSentences", "true")
 
     # untimed warmup: JVM JIT / janino codegen / Arrow / parquet-reader init
     # otherwise lands entirely on whichever query runs first (~10 s of

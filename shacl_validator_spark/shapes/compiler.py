@@ -1100,4 +1100,14 @@ def constraints_df(spark: SparkSession, ttl_or_rows: str | list[dict]) -> DataFr
     join against this table must be a broadcast join.
     """
     rows = compile_shapes(ttl_or_rows) if isinstance(ttl_or_rows, str) else ttl_or_rows
+    # no-silent-drop invariant (r3 ADVICE #2): a compiler field that is not
+    # in CONSTRAINT_SCHEMA would vanish from the exported relation — fail
+    # loudly so the keep-in-sync contract with _ROW_DEFAULTS is enforced
+    extra = {k for r in rows for k in r} - set(CONSTRAINT_SCHEMA.fieldNames())
+    if extra:
+        raise ValueError(
+            "constraint rows carry fields outside CONSTRAINT_SCHEMA "
+            f"{sorted(extra)} — extend model.CONSTRAINT_SCHEMA (keep-in-sync "
+            "contract, see _ROW_DEFAULTS)"
+        )
     return spark.createDataFrame(rows, schema=CONSTRAINT_SCHEMA)
