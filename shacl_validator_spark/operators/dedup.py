@@ -250,15 +250,35 @@ def minhash_lsh_pairs(
     return verified_small.unionByName(verified_big)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
     Implemented as explode(tokens) → per-bit vote aggregation — JVM-side
     only. Returns (id, simhash: bigint).
+
+    ``token_hash`` selects the per-token hash: ``"xxhash64"`` (default —
+    the production choice, one JVM hash per token) or ``"md5_60"`` (the
+    low 60 bits of md5, engine-portable: DuckDB reproduces it exactly via
+    hex-digit arithmetic, so the oracle gate can hash-check the output;
+    caps ``bits`` at 60).  Bit semantics are identical — only the token
+    hash function differs.
     """
     tokens = F.regexp_extract_all(_normalized(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
     ex = docs.select(F.col(id_col).alias("_id"), F.explode(tokens).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+    if token_hash == "md5_60":
+        # 15 hex chars = 60 bits, always non-negative in a signed long
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        bits = min(bits, 60)
+    elif token_hash == "xxhash64":
+        h = F.xxhash64(F.col("tok"))
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
 
     def bit_lit(b: int):
         # signed 64-bit: bit 63 is the sign bit

@@ -16,11 +16,13 @@ from ..shapes.compiler import parse_turtle
 
 
 def triples_from_turtle(
-    spark: SparkSession, ttl: str, graph: str | None = None
+    spark: SparkSession, ttl: str, graph: str | None = None, distinct: bool = True
 ) -> DataFrame:
-    """Parse fixture Turtle into a triples DataFrame (set semantics — the
-    reference's ``dataset.add`` collapses duplicate quads,
-    SHACLValidationService.ts:133,174-176)."""
+    """Parse fixture Turtle into a triples DataFrame (set semantics by
+    default — the reference's ``dataset.add`` collapses duplicate quads,
+    SHACLValidationService.ts:133,174-176; ``distinct=False`` preserves
+    duplicate statements so read_turtle's driver fallback matches the
+    distributed paths' bag semantics)."""
     g = parse_turtle(ttl)
     rows = []
     for s, p, o in g.triples:
@@ -40,7 +42,7 @@ def triples_from_turtle(
             )
         )
     df = spark.createDataFrame(rows, schema=TRIPLE_SCHEMA) if rows else spark.createDataFrame([], TRIPLE_SCHEMA)
-    return df.dropDuplicates()
+    return df.dropDuplicates() if distinct else df
 
 
 def triples_from_rdfxml(

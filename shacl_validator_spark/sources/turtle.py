@@ -26,10 +26,12 @@ distributed paths plus a surfaced (never silent) fallback:
   prefix so labels never collide across chunks.
 
 - **Fallback**: constructs the chunker cannot split safely — long
-  (triple-quoted) literals, conflicting ``@prefix`` redefinitions — fall
-  back to one driver-side parse of the whole file, APPENDING A WARNING to
-  the caller's ``warnings`` list (surfaced, not silent; the round-2
-  lesson on vanishing sh:or branches).
+  (triple-quoted) literals, conflicting ``@prefix`` redefinitions,
+  ``@base`` redefinitions or ``@base``-relative IRIs (directive
+  prepending is position-sensitive for those) — fall back to one
+  driver-side parse of the whole file, APPENDING A WARNING to the
+  caller's ``warnings`` list (surfaced, not silent; the round-2 lesson
+  on vanishing sh:or branches).
 
 At 100 TB the multi-file path is the production shape (dumps ship as
 parts); the single-file chunker is for the user who hands the engine one
@@ -56,6 +58,12 @@ _COMMENT_OR_BLANK_RE = r"^[ \t]*(#.*)?[\r]?$"
 _PREFIX_DECL_RE = re.compile(
     r"^[ \t]*(?:@prefix|PREFIX)[ \t]+([^\s:]*):[ \t]*<([^<>]*)>", re.IGNORECASE
 )
+_BASE_DECL_RE = re.compile(r"^[ \t]*(?:@base|BASE)[ \t]*<([^<>]*)>", re.IGNORECASE)
+# an IRIREF with no scheme — resolved against the in-scope @base; presence
+# alongside @base makes prologue-prepending position-sensitive (unsafe).
+# May also match "<a>" inside a quoted literal — a false positive that only
+# costs an unnecessary (safe) fallback.
+_RELATIVE_IRI_RE = r"<(?![A-Za-z][A-Za-z0-9+.\-]*:)[^<>]*>"
 
 # below this size a single file parses driver-side outright — chunking
 # machinery costs more than one small parse
@@ -80,8 +88,13 @@ def _rows_from_text(text: str, bnode_prefix: str, graph: str | None):
 
 def _parse_files_batch(batches) -> Iterator:
     """mapInPandas kernel: (path, value) whole-file rows → triple rows.
-    The bnode prefix is derived from the file path so anonymous bnodes
-    from different files never collide."""
+    Bnodes from different files never collide: anonymous ones get a
+    path-derived prefix at parse time, and LABELED ones (``_:x`` — kept
+    verbatim by the parser, but document-scoped per RDF 1.1) are rewritten
+    with the same per-file tag afterwards (``_:x`` → ``_:f<tag>lx``; the
+    ``l``/``b`` discriminator keeps the two namespaces disjoint).  The
+    single-file chunker must NOT do this — there, verbatim labels are what
+    makes cross-chunk references within one document correct."""
     import hashlib
 
     import pandas as pd
@@ -91,7 +104,19 @@ def _parse_files_batch(batches) -> Iterator:
         out: list[tuple] = []
         for path, text, graph in zip(pdf["path"], pdf["value"], pdf["graph"]):
             tag = hashlib.sha256(str(path).encode()).hexdigest()[:10]
-            out.extend(_rows_from_text(str(text), f"_:f{tag}b", graph))
+            file_pfx = f"_:f{tag}"
+
+            def scoped(v):
+                if isinstance(v, str) and v.startswith("_:") and not v.startswith(file_pfx):
+                    return f"{file_pfx}l{v[2:]}"
+                return v
+
+            for s, p, ov, kind, dt, lang, g in _rows_from_text(
+                str(text), f"{file_pfx}b", graph
+            ):
+                out.append(
+                    (scoped(s), p, scoped(ov) if kind == "bnode" else ov, kind, dt, lang, g)
+                )
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -193,6 +218,7 @@ def read_turtle(
     directives.sort()
     decls: dict[str, str] = {}
     conflict = False
+    bases: set[str] = set()
     for _, line in directives:
         m = _PREFIX_DECL_RE.match(line)
         if m:
@@ -200,11 +226,27 @@ def read_turtle(
             if pfx in decls and decls[pfx] != iri:
                 conflict = True
             decls[pfx] = iri
-    if hazard or conflict:
+        mb = _BASE_DECL_RE.match(line)
+        if mb:
+            bases.add(mb.group(1))
+    # @base makes directive-prepending position-sensitive: a later @base
+    # must not govern earlier statements, and relative IRIs written before
+    # the (single) @base resolve against the document IRI, not it.  Two
+    # distinct bases are always unsafe; one base is unsafe exactly when
+    # relative IRIs appear anywhere (cheap full-file scan, run only then).
+    base_hazard = len(bases) > 1 or (
+        len(bases) == 1
+        and lines.filter(F.col("value").rlike(_RELATIVE_IRI_RE)).limit(1).count() > 0
+    )
+    if hazard or conflict or base_hazard:
         reason = (
             "long (triple-quoted) literals"
             if hazard
-            else "conflicting @prefix redefinitions"
+            else (
+                "conflicting @prefix redefinitions"
+                if conflict
+                else "@base redefinitions / @base-relative IRIs"
+            )
         )
         msg = (
             f"turtle: {fpath} contains {reason} — statement-boundary chunking "
@@ -285,8 +327,9 @@ def _driver_parse(
 
     parts = spark.read.text(path, wholetext=True).collect()
     text = "\n".join(r.value for r in parts)
-    df = triples_from_turtle(spark, text, graph=graph)
-    return df if distinct else df
+    # distinct plumbed through so the fallback matches the distributed
+    # paths' bag semantics when distinct=False (ADVICE r4)
+    return triples_from_turtle(spark, text, graph=graph, distinct=distinct)
 
 
 def turtle_lines(df: DataFrame) -> DataFrame:

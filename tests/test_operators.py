@@ -59,6 +59,31 @@ def test_simhash_close_for_near_dups(docs):
     assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
 
 
+def test_simhash_md5_60_matches_python_reference(docs):
+    """md5_60 variant (the oracle-portable token hash) vs a pure-Python
+    reimplementation of the same vote — bit-exact."""
+    import hashlib
+    import re
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs, token_hash="md5_60").collect()}
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip()
+        toks = re.findall(r"[A-Za-z0-9]+(?:'[a-z]+)?", norm)
+        if not toks:
+            assert r.doc_id not in sh
+            continue
+        votes = [0] * 60
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        expect = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert sh[r.doc_id] == expect, r.doc_id
+    # md5_60 never sets bits 60-63, so it always fits in a non-negative long
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")],
