@@ -542,6 +542,64 @@ def q_shacl_sparql_union(spark, sf_dir):
     return v.select("focusNode", F.col("value"))
 
 
+def q_shacl_sparql_values(spark, sf_dir):
+    """sh:sparql with VALUES (r5, VERDICT r4 #5): an inline data block
+    inner-joined on the shared variable — the published-profile idiom for
+    "flag when the value is one of these" (format/licence enumerations).
+    Customers whose ex:segment is BUILDING or MACHINERY."""
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <ex:> .
+    ex:CustValuesShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:select \"\"\"
+          PREFIX ex: <ex:>
+          SELECT $this ?value WHERE {
+            $this ex:segment ?value .
+            VALUES ?value { "BUILDING" "MACHINERY" }
+          }
+        \"\"\" ;
+      ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert not warnings, warnings
+    v = validate(spark, _cust_triples(spark, sf_dir), rows, broadcast_rows=_SMALL)
+    return v.select("focusNode", F.col("value"))
+
+
+def q_shacl_sparql_minus(spark, sf_dir):
+    """sh:sparql with MINUS (r5, VERDICT r4 #5): left-anti join on the
+    shared variables — customers whose ex:acctbal solution is removed
+    when an ex:goodbal triple exists (synthetic invariant: goodbal exists
+    iff acctbal >= 0, so exactly the negative balances survive)."""
+    from shacl_validator_spark.shapes.compiler import compile_shapes
+
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <ex:> .
+    ex:CustMinusShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:select \"\"\"
+          PREFIX ex: <ex:>
+          SELECT $this ?value WHERE {
+            $this ex:acctbal ?value .
+            MINUS { $this ex:goodbal ?g }
+          }
+        \"\"\" ;
+      ] .
+    """
+    warnings: list[str] = []
+    rows = compile_shapes(shapes, warnings)
+    assert not warnings, warnings
+    v = validate(spark, _cust_triples(spark, sf_dir), rows, broadcast_rows=_SMALL)
+    return v.select("focusNode", F.col("value"))
+
+
 def q_shacl_report_summary(spark, sf_dir):
     v = _cust_validated(spark, sf_dir)
     return v.groupBy(
@@ -2053,6 +2111,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_sparql_select": q_shacl_sparql_select,
         "shacl_sparql_optional": q_shacl_sparql_optional,
         "shacl_sparql_union": q_shacl_sparql_union,
+        "shacl_sparql_values": q_shacl_sparql_values,
+        "shacl_sparql_minus": q_shacl_sparql_minus,
         "shacl_report_summary": q_shacl_report_summary,
         "shacl_dcat_ap_es_report": q_shacl_dcat_ap_es_report,
         "tpch_q1": q_tpch_q1,
@@ -2596,6 +2656,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value
         FROM customer
         WHERE c_acctbal < 0 OR c_acctbal > 9000
+    """
+    sql["shacl_sparql_values"] = """
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               c_mktsegment AS value
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """
+    sql["shacl_sparql_minus"] = """
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value
+        FROM customer
+        WHERE c_acctbal < 0
     """
     sql["shacl_sparql_select"] = """
         SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focusNode,

@@ -150,6 +150,26 @@ FACET_FIELDS = [
 ]
 
 _CID_MAP_CACHE: dict = {}
+_GATEWAY_REF: list = []
+
+
+def _expr_caches_fresh() -> None:
+    """Guard the Column-expression caches against a recycled JVM gateway
+    (ADVICE r4): _CID_MAP_CACHE / _MESSAGE_COL / _EXPR_CACHE memoize
+    py4j-backed expression trees, which survive spark.stop() within one
+    process but die if the gateway itself is torn down (embedding apps,
+    Spark Connect restarts).  _FACET_CACHE and the entry-point caches
+    already key on session identity; these are session-agnostic by design
+    (expressions are reusable across sessions on ONE gateway), so the
+    correct scope is the gateway: clear them whenever it changes."""
+    from pyspark import SparkContext
+
+    gw = getattr(SparkContext, "_gateway", None)
+    if not _GATEWAY_REF or _GATEWAY_REF[0] is not gw:
+        _CID_MAP_CACHE.clear()
+        _MESSAGE_COL.clear()
+        _EXPR_CACHE.clear()
+        _GATEWAY_REF[:] = [gw]
 
 
 def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
@@ -158,6 +178,7 @@ def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
     mapping recurs on every rebuild of the same suite (bench reps,
     streaming micro-batches); Column objects are unresolved expression
     trees, safely shared across plans."""
+    _expr_caches_fresh()
     key = tuple(sorted((k, tuple(sorted(v))) for k, v in mapping.items()))
     col = _CID_MAP_CACHE.get(key)
     if col is None:
@@ -231,6 +252,7 @@ def _message_col() -> F.Column:
     ``Validation issue at {path} with value {v}``
     (SHACLValidationService.ts:276-292).  Memoized (no inputs, ~10 py4j
     calls, four call sites per plan build)."""
+    _expr_caches_fresh()
     if _MESSAGE_COL:
         return _MESSAGE_COL[0]
     col = F.when(
@@ -910,6 +932,7 @@ def _rows_key(rows: list[dict]) -> str:
 
 
 def _compiled_checks_cached(rows: list[dict], ref_flag: dict[str, str]) -> dict:
+    _expr_caches_fresh()
     key = (_rows_key(rows), tuple(sorted(ref_flag.items())))
     arts = _EXPR_CACHE.get(key)
     if arts is None:

@@ -23,13 +23,21 @@ actually use in their sh:sparql constraints:
   the surrounding pattern (unbound-compatible join semantics stay outside
   the subset and raise);
 - ``BIND(expr AS ?v)`` — a projected column;
+- ``VALUES`` (r5) — single- and multi-variable data blocks compiled to an
+  inline binding relation inner-joined on the shared variables (Catalyst
+  broadcasts it); ``UNDEF`` stays outside the subset (it would need
+  unbound-compatible join semantics);
+- ``MINUS { … }`` (r5) — a left-anti join on the shared variables; a
+  MINUS sharing no variable with the outer pattern is a spec-correct
+  no-op (disjoint-domain solutions are never removed);
 - ``$this`` pre-binding (SHACL §5.3.1): the result is intersected with the
   shape's target set per constraint.
 
 Anything outside the subset (subqueries, property paths, aggregates,
-VALUES, MINUS, GRAPH) raises ``SparqlUnsupported`` at compile time — an
-unsupported published constraint is SURFACED, never silently dropped
-(the round-2 ADVICE lesson on vanishing sh:or branches).
+GRAPH, VALUES UNDEF, outer-scope FILTER variables inside
+OPTIONAL/UNION/MINUS groups) raises ``SparqlUnsupported`` at compile
+time — an unsupported published constraint is SURFACED, never silently
+dropped (the round-2 ADVICE lesson on vanishing sh:or branches).
 
 Spark-first shape: every triple pattern is one predicate-pushed scan of
 the triples relation, the BGP is a chain of equi-joins on shared variable
@@ -78,6 +86,9 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     binds: list[tuple[str, tuple]] = field(default_factory=list)
+    # (var names, rows of constant Terms) per VALUES block
+    values_blocks: list[tuple[list[str], list[list[Term]]]] = field(default_factory=list)
+    minuses: list["Group"] = field(default_factory=list)
 
 
 @dataclass
@@ -89,6 +100,8 @@ class SelectQuery:
     optionals: list[Group] = field(default_factory=list)
     unions: list[list[Group]] = field(default_factory=list)
     binds: list[tuple[str, tuple]] = field(default_factory=list)
+    values_blocks: list[tuple[list[str], list[list[Term]]]] = field(default_factory=list)
+    minuses: list[Group] = field(default_factory=list)
 
 
 # --- tokenizer -------------------------------------------------------------
@@ -210,8 +223,20 @@ class _P:
             if t is None:
                 raise SparqlUnsupported("sparql: unterminated group")
             low = t[1].lower()
-            if low in ("values", "minus", "graph", "select"):
+            if low in ("graph", "select"):
                 raise SparqlUnsupported(f"sparql: {t[1]} is outside the subset")
+            if low == "minus":
+                self.next()
+                g.minuses.append(self.group())
+                if self.at("."):
+                    self.next()
+                continue
+            if low == "values":
+                self.next()
+                g.values_blocks.append(self._values_block())
+                if self.at("."):
+                    self.next()
+                continue
             if t[1] == "{":
                 # nested group: only meaningful as a UNION alternative chain
                 alts = [self.group()]
@@ -285,6 +310,58 @@ class _P:
                 self.next()
         self.expect("}")
         return g
+
+    # -- VALUES data block: `?x { t… }` or `( ?x ?y ) { ( t t )… }` --
+    def _values_block(self) -> tuple[list[str], list[list[Term]]]:
+        vars_: list[str] = []
+        multi = self.at("(")
+        if multi:
+            self.next()
+            while not self.at(")"):
+                k, v = self.next()
+                if k != "var":
+                    raise SparqlUnsupported("sparql: VALUES expects variables")
+                vars_.append(v[1:])
+            self.next()
+        else:
+            k, v = self.next()
+            if k != "var":
+                raise SparqlUnsupported("sparql: VALUES expects a variable")
+            vars_.append(v[1:])
+        if not vars_:
+            raise SparqlUnsupported("sparql: VALUES with no variables")
+        if len(set(vars_)) != len(vars_):
+            raise SparqlUnsupported("sparql: duplicate variable in VALUES")
+        self.expect("{")
+        rows: list[list[Term]] = []
+        while not self.at("}"):
+            if multi:
+                self.expect("(")
+                row: list[Term] = []
+                while not self.at(")"):
+                    row.append(self._values_term())
+                self.next()
+            else:
+                row = [self._values_term()]
+            if len(row) != len(vars_):
+                raise SparqlUnsupported(
+                    f"sparql: VALUES row arity {len(row)} != {len(vars_)} variables"
+                )
+            rows.append(row)
+        self.expect("}")
+        return vars_, rows
+
+    def _values_term(self) -> Term:
+        t = self.peek()
+        if t is not None and t[1].lower() == "undef":
+            # UNDEF would need unbound-compatible join semantics
+            raise SparqlUnsupported("sparql: UNDEF in VALUES is outside the subset")
+        term = self.term()
+        if term[0] not in ("iri", "lit"):
+            raise SparqlUnsupported(
+                "sparql: VALUES data must be IRIs or literals"
+            )
+        return term
 
     # -- expressions (precedence: || < && < cmp < unary) --
     def expr(self):
@@ -383,7 +460,8 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> SelectQue
     if not g.patterns and not g.unions:
         raise SparqlUnsupported("sparql: empty graph pattern")
     return SelectQuery(
-        project, g.patterns, g.filters, g.not_exists, g.optionals, g.unions, g.binds
+        project, g.patterns, g.filters, g.not_exists, g.optionals, g.unions,
+        g.binds, g.values_blocks, g.minuses,
     )
 
 
@@ -482,7 +560,18 @@ def _join_on_vars(
         r_aux = f"{col}__type" in pat.columns
         if l_aux and r_aux:
             for a in _AUX:
-                c = c & F.col(f"_l.{col}{a}").eqNullSafe(F.col(f"_r.{col}{a}"))
+                if a == "__dt":
+                    # RDF 1.1: a plain literal IS an xsd:string literal, but
+                    # sources store the datatype either as NULL or as the
+                    # explicit IRI — coalesce both sides so the two storage
+                    # forms of the SAME term unify (inert for IRIs/bnodes:
+                    # NULL dt on both sides coalesces identically)
+                    c = c & (
+                        F.coalesce(F.col(f"_l.{col}{a}"), F.lit(XSD + "string"))
+                        == F.coalesce(F.col(f"_r.{col}{a}"), F.lit(XSD + "string"))
+                    )
+                else:
+                    c = c & F.col(f"_l.{col}{a}").eqNullSafe(F.col(f"_r.{col}{a}"))
             consumed_right.update(f"{col}{a}" for a in _AUX)
         elif l_aux:
             c = c & (F.col(f"_l.{col}__type") != "literal")
@@ -737,14 +826,116 @@ def _with_aux(df: DataFrame, want_aux: set[str]) -> DataFrame:
     return out
 
 
+def _expr_vars(e) -> set[str]:
+    """Variables referenced by a FILTER/BIND expression AST."""
+    if e[0] == "term":
+        return {e[1][1]} if e[1][0] == "var" else set()
+    if e[0] in ("or", "and"):
+        return _expr_vars(e[1]) | _expr_vars(e[2])
+    if e[0] == "not":
+        return _expr_vars(e[1])
+    if e[0] == "cmp":
+        return _expr_vars(e[2]) | _expr_vars(e[3])
+    if e[0] == "call":
+        out: set[str] = set()
+        for a in e[2]:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
+def _group_bound_vars(g: Group) -> set[str]:
+    """Variables a group can bind (recursively: BGP, UNION alternatives,
+    OPTIONAL sub-groups, BINDs, VALUES blocks)."""
+    vs: set[str] = set()
+    for tp in g.patterns:
+        vs |= _tp_vars(tp)
+    for alts in g.unions:
+        for a in alts:
+            vs |= _group_bound_vars(a)
+    for og in g.optionals:
+        vs |= _group_bound_vars(og)
+    vs |= {name for name, _ in g.binds}
+    for vars_, _rows in g.values_blocks:
+        vs |= set(vars_)
+    return vs
+
+
+def _check_standalone_filters(g: Group, where: str) -> None:
+    """Nested groups (UNION alternatives, OPTIONAL, MINUS) are evaluated
+    standalone before joining, so their top-level FILTER/BIND expressions
+    may only reference variables bound INSIDE the group.  An outer-scope
+    reference (legal SPARQL — the spec's LeftJoin(A,B,F) evaluates F over
+    the joined solution) is outside the subset: surface it as
+    SparqlUnsupported at compile time instead of a raw Spark
+    unresolved-column error at evaluation time (ADVICE r4).  Deeper
+    nesting is checked when evaluation recurses into it."""
+    bound = _group_bound_vars(g)
+    free: set[str] = set()
+    for fe in g.filters:
+        free |= _expr_vars(fe)
+    for _, e in g.binds:
+        free |= _expr_vars(e)
+    missing = sorted(free - bound)
+    if missing:
+        raise SparqlUnsupported(
+            f"sparql: FILTER/BIND in {where} references outer variable(s) "
+            f"{missing} not bound inside the group (outer-scope filter "
+            "evaluation is outside the subset)"
+        )
+
+
+def _values_df(spark, vars_: list[str], rows: list[list[Term]]) -> DataFrame:
+    """A VALUES block as an inline binding relation: ``v_<var>`` plus the
+    term aux columns (type/datatype/lang), one row per data tuple.  KB-
+    sized by construction (published shapes enumerate format lists etc.),
+    so Catalyst broadcasts it into the join."""
+    from pyspark.sql import types as T
+
+    data = []
+    for row in rows:
+        rec: list = []
+        for t in row:
+            if t[0] == "iri":
+                rec += [t[1], "iri", None, None]
+            else:  # ("lit", value, dt, lang) — dt pre-normalized by term()
+                _, val, dt, lang = t
+                rec += [val, "literal", dt, (lang.lower() if lang else None)]
+        data.append(tuple(rec))
+    fields = []
+    for v in vars_:
+        for suffix in ("", *_AUX):
+            fields.append(T.StructField(f"v_{v}{suffix}", T.StringType(), True))
+    return spark.createDataFrame(data, T.StructType(fields)).dropDuplicates()
+
+
 def _group_df(triples: DataFrame, g: Group) -> DataFrame:
     """Evaluate one group graph pattern to a binding relation.
 
-    Order: BGP → UNION blocks → OPTIONAL left joins → BIND columns →
-    FILTER predicates → NOT EXISTS anti-joins.  For queries inside the
-    pre-r4 subset the plan is identical to the old eval path."""
+    Order: BGP → UNION blocks → VALUES joins → OPTIONAL left joins →
+    BIND columns → FILTER predicates → NOT EXISTS / MINUS anti-joins.
+    For queries inside the pre-r4 subset the plan is identical to the old
+    eval path."""
+    # static VALUES connectivity check BEFORE building any plan (fail at
+    # compile time, like the cartesian-BGP check)
+    static_bound: set[str] = set()
+    for tp in g.patterns:
+        static_bound |= _tp_vars(tp)
+    for alts_ in g.unions:
+        for a in alts_:
+            static_bound |= _group_bound_vars(a)
+    for vars_, _rows in g.values_blocks:
+        if (g.patterns or g.unions) and not (set(vars_) & static_bound):
+            raise SparqlUnsupported(
+                "sparql: VALUES must share a variable with the surrounding "
+                "pattern (a free-standing cartesian VALUES is outside the subset)"
+            )
+        static_bound |= set(vars_)
+
     acc = _eval_bgp(triples, g.patterns) if g.patterns else None
     for alts in g.unions:
+        for a in alts:
+            _check_standalone_filters(a, "a UNION alternative")
         alt_dfs = [_group_df(triples, a) for a in alts]
         aux_bases = {
             c[: -len("__type")]
@@ -772,11 +963,27 @@ def _group_df(triples: DataFrame, g: Group) -> DataFrame:
                     f"{missing} (unbound-compatible joins are outside the subset)"
                 )
         acc = _join_on_vars(acc, u, shared)
+    for vars_, rows in g.values_blocks:
+        vdf = _values_df(triples.sparkSession, vars_, rows)
+        if acc is None:
+            acc = vdf
+            continue
+        shared = [v for v in vars_ if f"v_{v}" in acc.columns]
+        if not shared:
+            raise SparqlUnsupported(
+                "sparql: VALUES must share a variable with the surrounding "
+                "pattern (a free-standing cartesian VALUES is outside the subset)"
+            )
+        # inner join on the shared vars (RDF term identity via the aux
+        # columns — _join_on_vars coalesces the two plain/xsd:string
+        # storage forms); unshared VALUES vars become new bindings
+        acc = _join_on_vars(acc, vdf, shared)
     for og in g.optionals:
         if acc is None:
             raise SparqlUnsupported(
                 "sparql: OPTIONAL with no preceding pattern is outside the subset"
             )
+        _check_standalone_filters(og, "OPTIONAL")
         od = _group_df(triples, og)
         shared = _shared_vars(acc, od)
         if not shared:
@@ -804,6 +1011,15 @@ def _group_df(triples: DataFrame, g: Group) -> DataFrame:
                 "sparql: NOT EXISTS must share a variable with the outer pattern"
             )
         acc = _join_on_vars(acc, sub_df, shared, how="left_anti")
+    for mg in g.minuses:
+        _check_standalone_filters(mg, "MINUS")
+        md = _group_df(triples, mg)
+        shared = _shared_vars(acc, md)
+        if not shared:
+            # SPARQL Minus(A, B): solutions with disjoint domains are NOT
+            # removed — a MINUS sharing no variable is a spec-correct no-op
+            continue
+        acc = _join_on_vars(acc, md, shared, how="left_anti")
     return acc
 
 
@@ -811,7 +1027,8 @@ def eval_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
     """Evaluate the query over the triples relation; returns one column per
     projected variable (named after the variable, ``$this`` → ``this``)."""
     root = Group(
-        q.patterns, q.filters, q.not_exists, q.optionals, q.unions, q.binds
+        q.patterns, q.filters, q.not_exists, q.optionals, q.unions, q.binds,
+        q.values_blocks, q.minuses,
     )
     acc = _group_df(triples, root)
     missing = [v for v in q.project if f"v_{v}" not in acc.columns]

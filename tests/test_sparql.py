@@ -158,10 +158,16 @@ def test_union_and_bind(spark):
 def test_parser_rejections():
     with pytest.raises(SparqlUnsupported, match=r"\$this"):
         parse_select("SELECT ?x WHERE { ?x a <http://t> }")
-    with pytest.raises(SparqlUnsupported, match="VALUES"):
+    with pytest.raises(SparqlUnsupported, match="UNDEF"):
         parse_select(
+            "SELECT $this WHERE { $this a <http://t> . "
+            "VALUES ?this { UNDEF } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="VALUES must share"):
+        q = parse_select(
             'SELECT $this WHERE { $this a <http://t> . VALUES ?v { "a" } }'
         )
+        eval_select(None, q)  # raises before touching the DataFrame
     with pytest.raises(SparqlUnsupported, match="bare nested group"):
         parse_select("SELECT $this WHERE { { $this a <http://t> } }")
     with pytest.raises(SparqlUnsupported, match="cartesian"):
@@ -319,3 +325,97 @@ def test_rdfterm_equal_lang_literals(spark):
     assert {r.this for r in eval_select(t, nq).collect()} == {
         "http://ex.org/n1", "http://ex.org/n2",
     }
+
+
+def test_values_single_var(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this ?value WHERE { $this <http://ex.org/bal> ?value . "
+        'VALUES ?value { "-5"^^<http://www.w3.org/2001/XMLSchema#integer> '
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer> } }'
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    assert got == {("http://ex.org/c1", "-5"), ("http://ex.org/c2", "10")}
+
+
+def test_values_multi_var_and_iris(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this ?value WHERE { $this <http://ex.org/bal> ?value . "
+        "VALUES ( ?this ?value ) { "
+        '( <http://ex.org/c1> "-5"^^<http://www.w3.org/2001/XMLSchema#integer> ) '
+        '( <http://ex.org/c2> "999"^^<http://www.w3.org/2001/XMLSchema#integer> ) } }'
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    # c2's pair requires bal=999 which the data does not hold — only c1 row
+    assert got == {("http://ex.org/c1", "-5")}
+
+
+def test_values_lang_literal_term_identity(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this ?n WHERE { $this <http://ex.org/name> ?n . "
+        'VALUES ?n { "alice"@en "alice" } }'
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    # data holds "alice"@en only; the plain "alice" VALUES term is a
+    # DIFFERENT RDF term and must not double-match
+    assert got == {("http://ex.org/c1", "alice")}
+
+
+def test_values_binds_new_var(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this ?label WHERE { $this <http://ex.org/bal> ?value . "
+        "VALUES ( ?value ?label ) { "
+        '( "-5"^^<http://www.w3.org/2001/XMLSchema#integer> "neg" ) '
+        '( "10"^^<http://www.w3.org/2001/XMLSchema#integer> "pos" ) } }'
+    )
+    got = {tuple(r) for r in eval_select(t, q).collect()}
+    assert got == {("http://ex.org/c1", "neg"), ("http://ex.org/c2", "pos")}
+
+
+def test_minus_removes_shared_solutions(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this WHERE { $this a <http://ex.org/Cust> . "
+        "MINUS { $this <http://ex.org/bal> ?b } }"
+    )
+    got = {r.this for r in eval_select(t, q).collect()}
+    # c1 and c2 have bal; only c3 survives
+    assert got == {"http://ex.org/c3"}
+
+
+def test_minus_with_filter_inside(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this WHERE { $this <http://ex.org/bal> ?v . "
+        "MINUS { $this <http://ex.org/bal> ?v . FILTER(?v < 0) } }"
+    )
+    # c1 (-5) and other (-9) are negative → removed; only c2 (10) survives
+    got = {r.this for r in eval_select(t, q).collect()}
+    assert got == {"http://ex.org/c2"}
+
+
+def test_minus_disjoint_domain_is_noop(spark):
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this WHERE { $this a <http://ex.org/Cust> . "
+        "MINUS { ?x <http://ex.org/name> ?n } }"
+    )
+    # no shared variable: SPARQL Minus removes nothing
+    got = {r.this for r in eval_select(t, q).collect()}
+    assert got == {"http://ex.org/c1", "http://ex.org/c2", "http://ex.org/c3"}
+
+
+def test_optional_outer_filter_var_surfaces(spark):
+    """ADVICE r4: FILTER inside OPTIONAL referencing an outer-only
+    variable must raise SparqlUnsupported at compile time, not a raw
+    Spark unresolved-column error at evaluation time."""
+    t = triples_from_turtle(spark, DATA)
+    q = parse_select(
+        "SELECT $this WHERE { $this <http://ex.org/bal> ?v . "
+        "OPTIONAL { $this <http://ex.org/name> ?n . FILTER(?v < 0) } }"
+    )
+    with pytest.raises(SparqlUnsupported, match="outer variable"):
+        eval_select(t, q)

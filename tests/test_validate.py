@@ -386,3 +386,26 @@ def test_plan_build_expression_cache(spark, shapes):
     assert sorted(map(key, first.collect())) == sorted(map(key, again.collect()))
     # soft timing check (generous: host noise) — warm must not exceed cold
     assert warm < cold * 1.5, (cold, warm)
+
+
+def test_expr_caches_cleared_on_gateway_change(spark, monkeypatch):
+    """ADVICE r4: the Column-expression caches (py4j-backed trees) must be
+    dropped when the JVM gateway identity changes — a stale gateway would
+    leave every cached Column a dead reference with no recovery path."""
+    import importlib
+
+    vmod = importlib.import_module("shacl_validator_spark.operators.validate")
+
+    vmod._expr_caches_fresh()  # prime the gateway sentinel
+    vmod._CID_MAP_CACHE["probe"] = object()
+    vmod._EXPR_CACHE["probe"] = object()
+    vmod._MESSAGE_COL.append(object())
+    # same gateway: caches survive
+    vmod._expr_caches_fresh()
+    assert "probe" in vmod._CID_MAP_CACHE
+    # simulate a recycled gateway
+    vmod._GATEWAY_REF[:] = [object()]
+    vmod._expr_caches_fresh()
+    assert "probe" not in vmod._CID_MAP_CACHE
+    assert "probe" not in vmod._EXPR_CACHE
+    assert vmod._MESSAGE_COL == []
