@@ -144,7 +144,9 @@ def run_bench(
     # before EVERY rep, so each rep pays the query's own materialization
     # (persists inside a query never carry across reps) — the min removes
     # noise, not work.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # default 3 (VERDICT r4 #8): with 2 reps a single noisy shot still
+    # leaks into round-over-round per-query comparisons
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     ticks0 = _cpu_ticks()
     times: dict[str, float] = {}
     for name in headline:

@@ -122,14 +122,26 @@ def triples_from_rdfxml(
     return df.dropDuplicates()
 
 
-def triples_from_jsonld(
-    spark: SparkSession, doc, graph: str | None = None
-) -> DataFrame:
-    """Minimal expanded-form JSON-LD loader (S3 — reference
-    RDFService.ts:89-94).  Accepts a dict or list of node objects with
+def jsonld_rows(
+    doc,
+    graph: str | None = None,
+    bnode_prefix: str | None = None,
+    label_prefix: str | None = None,
+) -> list[tuple]:
+    """Expanded-form JSON-LD → TRIPLE_SCHEMA row tuples (pure Python — the
+    shared kernel of the driver loader below and the distributed source in
+    sources/jsonld.py).  Accepts a dict or list of node objects with
     ``@id``, ``@type`` and property arrays of ``{'@id'}`` / ``{'@value',
-    '@type'?, '@language'?}`` objects — the projection shape the reference
-    itself produces at ValidatorInput.tsx:133-154 (F15 inverse)."""
+    '@type'?, '@language'?}`` objects.
+
+    ``bnode_prefix`` (e.g. ``"_:f<tag>"``) document-scopes blank nodes for
+    multi-file reads: generated ids become ``<prefix>b<n>`` and labeled
+    ``_:x`` ids are rewritten ``<prefix>l<x>`` (RDF 1.1 label scoping —
+    the same ``b``/``l`` discriminator as the Turtle multi-file path).
+    ``None`` keeps the legacy single-document behavior (``_:bj<n>`` for
+    generated ids, labels verbatim).  ``label_prefix`` overrides the
+    prefix for LABELED ids only — the JSON-Lines source scopes generated
+    ids per line but labels per file (they must meet across lines)."""
     import json as _json
 
     if isinstance(doc, str):
@@ -138,6 +150,13 @@ def triples_from_jsonld(
     RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     rows: list[tuple] = []
     bnode_n = 0
+
+    lbl_pfx = label_prefix if label_prefix is not None else bnode_prefix
+
+    def scoped(oid: str) -> str:
+        if lbl_pfx is not None and oid.startswith("_:"):
+            return f"{lbl_pfx}l{oid[2:]}"
+        return oid
 
     def emit(subj: str, node: dict):
         nonlocal bnode_n
@@ -153,6 +172,7 @@ def triples_from_jsonld(
                 if isinstance(v, dict) and "@id" in v:
                     oid = v["@id"]
                     kind = "bnode" if oid.startswith("_:") else "iri"
+                    oid = scoped(oid)
                     rows.append((subj, key, oid, kind, None, None, graph))
                     nested = {k: x for k, x in v.items() if k != "@id"}
                     if nested:
@@ -193,8 +213,25 @@ def triples_from_jsonld(
         nid = node.get("@id")
         if nid is None:
             bnode_n += 1
-            nid = f"_:bj{bnode_n}"
+            nid = (
+                f"{bnode_prefix}b{bnode_n}"
+                if bnode_prefix is not None
+                else f"_:bj{bnode_n}"
+            )
+        else:
+            nid = scoped(nid)
         emit(nid, node)
+    return rows
+
+
+def triples_from_jsonld(
+    spark: SparkSession, doc, graph: str | None = None
+) -> DataFrame:
+    """Minimal expanded-form JSON-LD loader (S3 — reference
+    RDFService.ts:89-94) — the projection shape the reference itself
+    produces at ValidatorInput.tsx:133-154 (F15 inverse).  Driver-side;
+    for dumps see the distributed ``sources.jsonld.read_jsonld``."""
+    rows = jsonld_rows(doc, graph)
     df = (
         spark.createDataFrame(rows, schema=TRIPLE_SCHEMA)
         if rows
