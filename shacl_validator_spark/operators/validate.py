@@ -106,49 +106,6 @@ def _component(name: str) -> str:
     return SH + name + "ConstraintComponent"
 
 
-# facet columns attached to every value row / aggregate row, in order
-FACET_FIELDS = [
-    "path",
-    "min_count",
-    "max_count",
-    "datatype",
-    "datatype_in",
-    "node_kind",
-    "pattern",
-    "in_list",
-    "class_iri",
-    "min_inclusive",
-    "max_inclusive",
-    "min_exclusive",
-    "max_exclusive",
-    "min_inclusive_ts",
-    "max_inclusive_ts",
-    "min_exclusive_ts",
-    "max_exclusive_ts",
-    "less_than",
-    "less_than_or_equals",
-    "closed_allowed",
-    "unique_lang",
-    "language_in",
-    "has_value",
-    "min_length",
-    "max_length",
-    "node_branch",
-    "or_branches",
-    "and_branches",
-    "xone_branches",
-    "not_branch",
-    "qvs_branch",
-    "q_min_count",
-    "q_max_count",
-    "qvs_disjoint",
-    "qvs_sibling_branches",
-    "severity",
-    "messages",
-    "shape_iri",
-    "foaf_page",
-]
-
 _CID_MAP_CACHE: dict = {}
 _GATEWAY_REF: list = []
 
@@ -158,7 +115,7 @@ def _expr_caches_fresh() -> None:
     (ADVICE r4): _CID_MAP_CACHE / _MESSAGE_COL / _EXPR_CACHE memoize
     py4j-backed expression trees, which survive spark.stop() within one
     process but die if the gateway itself is torn down (embedding apps,
-    Spark Connect restarts).  _FACET_CACHE and the entry-point caches
+    Spark Connect restarts).  The entry-point caches
     already key on session identity; these are session-agnostic by design
     (expressions are reusable across sessions on ONE gateway), so the
     correct scope is the gateway: clear them whenever it changes."""
@@ -198,50 +155,14 @@ def _cid_map(mapping: dict[str, list[int]]) -> F.Column:
     return col
 
 
-def _facet_df(spark: SparkSession, constraint_rows: list[dict]) -> DataFrame:
-    """Tiny facet lookup table (one row per constraint), attached to value
-    streams via explicit broadcast join.
-
-    Round 1 embedded this as a literal ``create_map`` of structs so Catalyst
-    would constant-fold the lookup; measured at DCAT-AP-scale profiles the
-    literal blows up plan construction and whole-stage codegen superlinearly
-    (every stage inlines n_constraints × n_facets expressions), while a
-    16-row broadcast hash join is effectively free and keeps the generated
-    code constant-size.  The map-free lookups that stay literal (_cid_map)
-    are one entry per predicate — small either way."""
-    from pyspark.sql import types as T
-
-    from ..local_df import local_df
-    from ..model import CONSTRAINT_SCHEMA
-
-    wanted = {"constraint_id", *FACET_FIELDS}
-    schema = T.StructType([f for f in CONSTRAINT_SCHEMA.fields if f.name in wanted])
-    rows = [
-        {k: r.get(k) for k in schema.fieldNames()}
-        for r in sorted(constraint_rows, key=lambda r: r["constraint_id"])
-    ]
-    # LocalRelation (local_df), not a pickled RDD: this table is broadcast
-    # from ~a dozen plan branches, and each broadcast build of a Python-RDD
-    # relation is a cluster job through Python workers (r4 profile: ~12
-    # blocked 32-task jobs per action).  Memoized per (rows, session) —
-    # the arrow conversion + createDataFrame repeat identically on every
-    # plan rebuild of the same suite.
-    key = _rows_key(constraint_rows)
-    ent = _FACET_CACHE.get(key)
-    if ent is not None and ent[0] is spark:
-        return ent[1]
-    df = local_df(spark, rows, schema)
-    if len(_FACET_CACHE) >= 64:
-        _FACET_CACHE.pop(next(iter(_FACET_CACHE)))
-    _FACET_CACHE[key] = (spark, df)
-    return df
-
-
-_FACET_CACHE: dict = {}
-
-
-def _attach_facets(df: DataFrame, facets: DataFrame) -> DataFrame:
-    return df.join(F.broadcast(facets), "constraint_id")
+# Facet attachment history: round 1 embedded ALL facets as literal
+# create_map structs (plan-size blowup on the corpus-sized value stream);
+# rounds 2-4 used a broadcast facet-table join per branch (each one an AQE
+# broadcast job with a driver collect — ~10 jobs per report plan); r5
+# compiles result metadata and per-focus counting facets to literal
+# when-chains on the VIOLATION-sized streams only (arts["meta_cols"] in
+# _compiled_checks) — no broadcast jobs, bounded plan size, and the
+# corpus-sized stream still carries nothing but the six term columns.
 
 
 _MESSAGE_COL: list = []
@@ -1330,12 +1251,69 @@ def _compiled_checks(rows: list[dict], ref_flag: dict[str, str]) -> dict:
                 ),
             ]
         )
+    # ---- literal facet metadata (r5, VERDICT r4 #2) -----------------------
+    # Result metadata (path/severity/messages/shape/foaf:page) and the
+    # per-focus counting facets are ALSO driver-known per constraint_id, so
+    # they compile to the same literal when-chains as the check facets
+    # above.  This replaces every per-branch broadcast facet join — each
+    # one a separate AQE broadcast job with a driver collect (~10 such jobs
+    # per report plan at the 35-constraint fixture) — with in-codegen
+    # lookups on the violation-sized streams.  Cached with the rest of the
+    # compiled artifacts, so the py4j build cost is paid once per suite.
+    _MSG_T = "array<struct<text:string,lang:string>>"
+
+    def _lit_chain(field: str, build, typ: str) -> F.Column:
+        expr = None
+        for val, ids in _grouped(field):
+            lit = build(val)
+            expr = (
+                F.when(_ids_cond(ids), lit)
+                if expr is None
+                else expr.when(_ids_cond(ids), lit)
+            )
+        if expr is None:
+            return F.lit(None).cast(typ)
+        return expr.otherwise(F.lit(None).cast(typ))
+
+    def _lit_msgs(ms) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(m["text"]).cast("string").alias("text"),
+                    F.lit(m.get("lang")).cast("string").alias("lang"),
+                )
+                for m in ms
+            ]
+        )
+
+    def _lit_arr(xs) -> F.Column:
+        if not xs:
+            return F.array().cast("array<string>")
+        return F.array(*[F.lit(str(x)) for x in xs])
+
+    meta_cols = {
+        "path": _lit_chain("path", F.lit, "string"),
+        "severity": _lit_chain("severity", F.lit, "string"),
+        "shape_iri": _lit_chain("shape_iri", F.lit, "string"),
+        "foaf_page": _lit_chain("foaf_page", F.lit, "string"),
+        "messages": _lit_chain("messages", _lit_msgs, _MSG_T),
+        "min_count": _lit_chain("min_count", lambda x: F.lit(int(x)), "int"),
+        "max_count": _lit_chain("max_count", lambda x: F.lit(int(x)), "int"),
+        "q_min_count": _lit_chain("q_min_count", lambda x: F.lit(int(x)), "int"),
+        "q_max_count": _lit_chain("q_max_count", lambda x: F.lit(int(x)), "int"),
+        "has_value": _lit_chain("has_value", lambda x: F.lit(str(x)), "string"),
+        # presence-only slot: focus checks test qvs_branch.isNotNull()
+        "qvs_branch": _lit_chain("qvs_branch", lambda x: F.lit(True), "boolean"),
+        "closed_allowed": _lit_chain("closed_allowed", _lit_arr, "array<string>"),
+    }
+
     return {
         "check_cols": check_cols,
         "hv_chain": hv_chain,
         "q_chain": q_chain,
         "focus_checks": F.array(*focus_check_cols),
         "has_qvs": _has("qvs_branch"),
+        "meta_cols": meta_cols,
     }
 
 
@@ -1463,7 +1441,6 @@ def _eval(
             "object_type string, object_datatype string, object_lang string",
         )
 
-    facets = _facet_df(spark, rows)
 
     # =======================================================================
     # Single-scan rule evaluation.  The value stream (every value occurrence
@@ -1662,14 +1639,20 @@ def _eval(
     # rows via the empty compacted array.  Result METADATA (path, severity,
     # messages, shape, foaf:page) joins onto this violation-sized stream —
     # the broadcast facet join the corpus-sized stream used to pay.
-    meta = facets.select(
-        "constraint_id", "path", "severity", "messages", "shape_iri", "foaf_page"
-    )
+    # Result metadata attaches as LITERAL per-constraint lookups (r5 —
+    # arts["meta_cols"], cached with the check compilation): no broadcast
+    # facet join, no AQE broadcast job, stays inside whole-stage codegen.
+    mc = arts["meta_cols"]
+
+    def _with_meta(df: DataFrame, extra: tuple = ()) -> DataFrame:
+        for f in ("path", "severity", "messages", "shape_iri", "foaf_page", *extra):
+            df = df.withColumn(f, mc[f])
+        return df
+
     if check_cols:
         checks = F.array(*check_cols)
-        value_rows = (
-            values.withColumn("_hc", F.explode(F.array_compact(checks)))
-            .select(
+        value_rows = _with_meta(
+            values.withColumn("_hc", F.explode(F.array_compact(checks))).select(
                 "constraint_id",
                 "focusNode",
                 "object_value",
@@ -1677,7 +1660,6 @@ def _eval(
                     "_comp"
                 ),
             )
-            .join(F.broadcast(meta), "constraint_id")
         )
         result = _as_violations(value_rows, F.col("_comp"), F.col("object_value"))
     else:
@@ -1748,12 +1730,17 @@ def _eval(
     )
 
     # targets-side LEFT join so zero-value focus nodes are seen (the classic
-    # join-SHACL minCount bug, SURVEY.md §7.3); both sides are tiny here
-    agg = _attach_facets(
+    # join-SHACL minCount bug, SURVEY.md §7.3); counting facets + metadata
+    # attach literally (qvs_branch is a presence-only boolean slot — the
+    # focus checks test isNotNull on it)
+    agg = _with_meta(
         targets.join(per_focus, ["constraint_id", "focusNode"], "left")
         .withColumn("n_values", F.coalesce(F.col("_n"), F.lit(0)))
         .withColumn("n_q", F.coalesce(F.col("_qn"), F.lit(0))),
-        facets,
+        extra=(
+            "min_count", "max_count", "q_min_count", "q_max_count",
+            "has_value", "qvs_branch",
+        ),
     )
 
     # per-focus components (MinCount, MaxCount, HasValue, QualifiedMin/Max)
@@ -1783,7 +1770,7 @@ def _eval(
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") > 1)
         )
-        dup_langs = _attach_facets(dup_langs, facets).withColumn(
+        dup_langs = _with_meta(dup_langs).withColumn(
             "object_value", F.col("_lang")
         )
         result = result.unionByName(
@@ -1851,8 +1838,8 @@ def _eval(
             only_sib = sib.filter(F.col("constraint_id").isin(eq_ids)).join(
                 pv_k.select(*key), key, "left_anti"
             )
-            eq_rows = _attach_facets(
-                only_path.unionByName(only_sib.select(only_path.columns)), facets
+            eq_rows = _with_meta(
+                only_path.unionByName(only_sib.select(only_path.columns))
             )
             result = result.unionByName(
                 _as_violations(eq_rows, _component("Equals"), F.col("object_value"))
@@ -1863,7 +1850,7 @@ def _eval(
             )
             result = result.unionByName(
                 _as_violations(
-                    _attach_facets(both, facets),
+                    _with_meta(both),
                     _component("Disjoint"),
                     F.col("object_value"),
                 )
@@ -1883,7 +1870,7 @@ def _eval(
             F.col("subject") == F.col("focusNode"),
         )
         cl = (
-            _attach_facets(closed_vals, facets)
+            _with_meta(closed_vals, extra=("closed_allowed",))
             .filter(~F.array_contains(F.col("closed_allowed"), F.col("predicate")))
             .withColumn("path", F.col("predicate"))
         )

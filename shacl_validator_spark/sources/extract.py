@@ -366,6 +366,48 @@ def extract_raw_triples(
     return cand.mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
 
 
+def extract_raw_triples_from_html(
+    pages: DataFrame, gate: bool = True
+) -> DataFrame:
+    """FUSED html → text → surface-form triples in ONE Arrow pass
+    (r5, VERDICT r4 #4): when the input carries raw ``html`` but no
+    pre-extracted ``text``, running ``extract_text`` as its own pandas UDF
+    materializes the text column only for the very next operator to
+    re-scan it — two Arrow round-trips of ~6.5 KB/page where one
+    suffices.  This kernel decodes the main-content span and runs the
+    literal-first relation extraction inside the same ``mapInPandas``
+    batch, so each page crosses the JVM↔Python boundary once and the text
+    bytes live only as a transient Python string.
+
+    The JVM candidate gate adapts to html: ``extract_text`` yields either
+    a byte-substring of the html (main-span path) or a tags→spaces
+    rewrite, so a text containing the full infix literal implies the html
+    contains the literal's space-TRIMMED core (the surrounding spaces may
+    come from stripped tags).  Gating html on the trimmed literals is
+    therefore a sound superset filter: never drops a true candidate,
+    keeps at most a few false ones for the Python kernel to reject.
+    Differential equality with the two-pass path is pinned by
+    tests/test_extract.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            text = pdf["html"].map(
+                lambda b: _extract_text_bytes(bytes(b)) if b is not None else ""
+            )
+            yield _extract_batch(
+                pd.DataFrame({"url": pdf["url"], "text": text})
+            )
+
+    cand = pages.select("url", "html")
+    if gate and PATTERN_GATE_LITERALS:
+        keep = None
+        for lit in PATTERN_GATE_LITERALS:
+            c = F.contains(F.col("html"), F.lit(lit.strip().encode()))
+            keep = c if keep is None else keep | c
+        cand = cand.filter(keep)
+    return cand.mapInPandas(run, schema=RAW_TRIPLE_SCHEMA)
+
+
 def mentions_from_raw(raw: DataFrame) -> DataFrame:
     """Distinct (surface, ent_class) mention table, derived relationally.
 

@@ -331,3 +331,58 @@ def test_sentence_pruning_edge_cases(spark):
     # sanity on content: u2 yields nothing, u5 yields one
     urls = {r[0] for r in gated}
     assert "u2" not in urls and "u5" in urls
+
+
+def test_fused_html_extraction_equals_two_pass(spark):
+    """r5 fused kernel: extract_raw_triples_from_html(pages) must equal
+    extract_text → extract_raw_triples on the same pages (synthetic corpus
+    where html embeds text in the main-content template)."""
+    from shacl_validator_spark.sources.extract import (
+        extract_raw_triples_from_html,
+        extract_text,
+    )
+
+    pages = synthesize_pages(spark, 300, fact_density=0.4).cache()
+    two_pass = extract_raw_triples(
+        pages.select("url", extract_text(F.col("html")).alias("text"))
+    )
+    fused = extract_raw_triples_from_html(pages)
+    a = {tuple(r) for r in two_pass.collect()}
+    b = {tuple(r) for r in fused.collect()}
+    assert a == b and len(a) > 0
+    pages.unpersist()
+
+
+def test_fused_html_gate_is_sound_across_tags(spark):
+    """The html gate uses space-TRIMMED infix literals: an infix whose
+    surrounding spaces come from stripped tags (no main-content span, so
+    the tags→spaces fallback builds the text) must still be extracted."""
+    from pyspark.sql import types as T
+
+    from shacl_validator_spark.sources.extract import (
+        extract_raw_triples_from_html,
+        extract_text,
+    )
+
+    rows = [
+        # literal split by tags: text gets " is located in " via tag→space
+        ("u1", b"Acme Corp<b>is located in</b>Berlin. trailing"),
+        # plain literal inside body, no main template
+        ("u2", b"Initech publishes Weekly Data. x"),
+        # no relation at all — gate must drop it (and results agree)
+        ("u3", b"nothing to see here"),
+    ]
+    pages = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+        ])
+    )
+    two_pass = extract_raw_triples(
+        pages.select("url", extract_text(F.col("html")).alias("text"))
+    )
+    fused = extract_raw_triples_from_html(pages)
+    a = {tuple(r) for r in two_pass.collect()}
+    b = {tuple(r) for r in fused.collect()}
+    assert a == b
+    assert any(r[0] == "u1" for r in a), a  # the tag-split case extracted

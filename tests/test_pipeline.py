@@ -222,3 +222,18 @@ def test_iceberg_merge_seam_documented_fallback(spark):
     else:
         assert rec["status"] == "unavailable"
         assert "fallback" in rec["detail"]
+
+
+def test_pipeline_html_only_input_matches_text_input(spark, tmp_path):
+    """r5: html-only pages route through the fused extractor and must
+    produce the same merged triples as the text-carrying input."""
+    pages = synthesize_pages(spark, N)
+    out_t = str(tmp_path / "kg_text")
+    out_h = str(tmp_path / "kg_html")
+    rt = run_pipeline(spark, pages, out_t, n_groups=2)
+    rh = run_pipeline(spark, pages.drop("text"), out_h, n_groups=2)
+    assert rh.triples_in == rt.triples_in
+    assert rh.merged == rt.merged
+    a = {tuple(r) for r in spark.read.parquet(f"{out_t}/triples").collect()}
+    b = {tuple(r) for r in spark.read.parquet(f"{out_h}/triples").collect()}
+    assert a == b
