@@ -1317,6 +1317,151 @@ def _compiled_checks(rows: list[dict], ref_flag: dict[str, str]) -> dict:
     }
 
 
+# Facets that force a nested shape through the FULL evaluator: pair
+# components, closed, uniqueLang (per-focus-per-lang agg), sh:sparql,
+# qualified counting, and any reference to a deeper nested shape.
+_NESTED_FAST_BLOCKERS = (
+    "equals", "disjoint", "less_than", "less_than_or_equals",
+    "closed", "unique_lang", "sparql_select", "qvs_branch",
+    "q_min_count", "q_max_count",
+)
+
+
+def _nested_fast_ok(sub_rows: list[dict]) -> bool:
+    """A nested shape qualifies for the existence-only fast pass iff every
+    definition row is a plain single-step property shape whose components
+    are per-value checks plus min/maxCount/hasValue — the shape published
+    profiles overwhelmingly use for sh:node / logical branches."""
+    for d in sub_rows:
+        if any(d.get(k) for k in _NESTED_FAST_BLOCKERS):
+            return False
+        if _branch_refs(d):
+            return False
+        steps = d.get("path_steps")
+        if not steps or not _is_plain_single(steps):
+            return False
+    return True
+
+
+def _nested_bad_fast(
+    spark: SparkSession,
+    triples: DataFrame,
+    sub_rows: list[dict],
+    nodes: DataFrame,
+    types: DataFrame,
+    small: bool,
+    types_small: bool,
+) -> DataFrame:
+    """Non-conforming value nodes of a simple nested shape WITHOUT the
+    full violation assembly (r5): conformance is an EXISTENCE question —
+    "does the nested pass emit any result for this node" — so the
+    per-value hit explode, metadata attach, result projection, and final
+    result-identity dedup of _eval are all dead weight here.  One
+    predicate-pushed scan + the compiled check expressions yield the
+    per-value offenders directly; one aggregation over the same scan
+    serves the counting components (distinct value-node count per focus,
+    full RDF-term identity, zero-value focus nodes seen via a left join
+    from the candidate set).  Semantics are pinned equal to the full pass
+    by tests/test_validate.py's fast-vs-full differential and the
+    unchanged oracle hashes; the superset-evaluation argument (values of
+    non-candidate focus nodes are harmless) is the same one the caller
+    already applies to nested target derivation."""
+    by_pred: dict[str, list[int]] = {}
+    for d in sub_rows:
+        for p in d["path_steps"][0]:
+            by_pred.setdefault(p, []).append(d["constraint_id"])
+    stream = triples.select(
+        F.explode(_cid_map(by_pred)[F.col("predicate")]).alias("constraint_id"),
+        F.col("subject").alias("focusNode"),
+        "object_value",
+        "object_type",
+        "object_datatype",
+        "object_lang",
+    )
+    if any(r.get("class_iri") or _has_branch_class(r) for r in sub_rows):
+        wanted = sorted(_level_classes(sub_rows))
+        nc = (
+            types.filter(F.col("cls").isin(wanted))
+            .groupBy(F.col("subject").alias("t_node"))
+            .agg(F.collect_set("cls").alias("t_classes"))
+        )
+        gated_nc = F.broadcast(nc) if types_small else nc
+        stream = stream.join(
+            gated_nc, stream["object_value"] == gated_nc["t_node"], "left"
+        ).drop("t_node")
+    arts = _compiled_checks_cached(sub_rows, {})
+    parts: list[DataFrame] = []
+    if arts["check_cols"]:
+        parts.append(
+            stream.filter(
+                F.size(F.array_compact(F.array(*arts["check_cols"]))) > 0
+            ).select("focusNode")
+        )
+    counting = [
+        d["constraint_id"]
+        for d in sub_rows
+        if d.get("min_count") is not None
+        or d.get("max_count") is not None
+        or d.get("has_value") is not None
+    ]
+    if counting:
+        hv = arts["hv_chain"]
+        hv_col = (
+            F.coalesce(hv, F.lit(False)) if hv is not None else F.lit(False)
+        )
+        per_focus = (
+            stream.filter(F.col("constraint_id").isin(counting))
+            .groupBy("constraint_id", "focusNode")
+            .agg(
+                # distinct VALUE NODES (term identity), mirroring _eval's
+                # per_value dedup → count cascade
+                F.countDistinct(
+                    F.struct(
+                        "object_value", "object_type",
+                        "object_datatype", "object_lang",
+                    )
+                ).alias("_n"),
+                F.max(hv_col.cast("int")).alias("_hv_found"),
+            )
+        )
+        cand = nodes.select(
+            F.explode(
+                F.array(*[F.lit(c).cast("long") for c in sorted(counting)])
+            ).alias("constraint_id"),
+            F.col("object_value").alias("focusNode"),
+        )
+        mc = arts["meta_cols"]
+        agg = (
+            cand.join(per_focus, ["constraint_id", "focusNode"], "left")
+            .withColumn("n_values", F.coalesce(F.col("_n"), F.lit(0)))
+            .withColumn("min_count", mc["min_count"])
+            .withColumn("max_count", mc["max_count"])
+            .withColumn("has_value", mc["has_value"])
+        )
+        parts.append(
+            agg.filter(
+                (
+                    F.col("min_count").isNotNull()
+                    & (F.col("n_values") < F.col("min_count"))
+                )
+                | (
+                    F.col("max_count").isNotNull()
+                    & (F.col("n_values") > F.col("max_count"))
+                )
+                | (
+                    F.col("has_value").isNotNull()
+                    & (F.coalesce(F.col("_hv_found"), F.lit(0)) == 0)
+                )
+            ).select("focusNode")
+        )
+    if not parts:
+        return local_df(spark, [], "focusNode string")
+    bad = parts[0]
+    for p in parts[1:]:
+        bad = bad.unionByName(p)
+    return bad.dropDuplicates()
+
+
 def _eval(
     spark: SparkSession,
     triples: DataFrame,
@@ -1597,19 +1742,31 @@ def _eval(
                         .select("object_value")
                         .dropDuplicates()
                     )
-                sub_targets = nodes.select(
-                    F.explode(
-                        F.array(*[F.lit(d["constraint_id"]).cast("long") for d in sub_rows])
-                    ).alias("constraint_id"),
-                    F.col("object_value").alias("focusNode"),
+                fast_ok = _nested_fast_ok(sub_rows) and (
+                    spark.conf.get("spark.kg.validate.nestedFastPath", "true")
+                    == "true"
                 )
-                sub_vios = _eval(
-                    spark, triples, sub_rows, defs, sub_targets, types,
-                    small=small, types_small=types_small, depth=depth + 1,
-                )
-                bad = sub_vios.select(
-                    F.col("focusNode").alias(f"_badnode_{i}")
-                ).dropDuplicates()
+                if fast_ok:
+                    # existence-only conformance: skip the full violation
+                    # assembly (r5 — see _nested_bad_fast)
+                    bad = _nested_bad_fast(
+                        spark, triples, sub_rows, nodes, types,
+                        small=small, types_small=types_small,
+                    ).select(F.col("focusNode").alias(f"_badnode_{i}"))
+                else:
+                    sub_targets = nodes.select(
+                        F.explode(
+                            F.array(*[F.lit(d["constraint_id"]).cast("long") for d in sub_rows])
+                        ).alias("constraint_id"),
+                        F.col("object_value").alias("focusNode"),
+                    )
+                    sub_vios = _eval(
+                        spark, triples, sub_rows, defs, sub_targets, types,
+                        small=small, types_small=types_small, depth=depth + 1,
+                    )
+                    bad = sub_vios.select(
+                        F.col("focusNode").alias(f"_badnode_{i}")
+                    ).dropDuplicates()
                 values = values.join(
                     _gate(bad),
                     values["object_value"] == F.col(f"_badnode_{i}"),

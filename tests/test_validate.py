@@ -409,3 +409,34 @@ def test_expr_caches_cleared_on_gateway_change(spark, monkeypatch):
     assert "probe" not in vmod._CID_MAP_CACHE
     assert "probe" not in vmod._EXPR_CACHE
     assert vmod._MESSAGE_COL == []
+
+
+def test_nested_fast_path_matches_full_eval(spark):
+    """r5 existence-only nested fast pass vs the full recursive _eval:
+    bit-identical violation sets on the fixture suite (which exercises
+    sh:node, sh:not, and all three qualifiedValueShape references)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+    from shacl_validator_spark.operators.validate import validate
+
+    rows = m.customer_constraints()
+    t = m._cust_triples(spark, "/root/testdata/sf0.001")
+
+    def canon(df):
+        return {
+            tuple(
+                str(v) if not isinstance(v, list) else repr(v) for v in r
+            )
+            for r in df.collect()
+        }
+
+    spark.conf.set("spark.kg.validate.nestedFastPath", "true")
+    fast = canon(validate(spark, t, rows, broadcast_rows=m._SMALL))
+    spark.conf.set("spark.kg.validate.nestedFastPath", "false")
+    try:
+        full = canon(validate(spark, t, rows, broadcast_rows=m._SMALL))
+    finally:
+        spark.conf.set("spark.kg.validate.nestedFastPath", "true")
+    assert fast == full and len(fast) > 0
