@@ -64,8 +64,9 @@ def main() -> None:
             cnt = out.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
         h = out.select(
-            F.sum(F.xxhash64(*RAW_TRIPLE_SCHEMA.fieldNames())).alias("h")
+            F.bit_xor(F.xxhash64(*RAW_TRIPLE_SCHEMA.fieldNames())).alias("h")
         ).collect()[0].h
         return {"wall": round(best, 2), "rows": cnt, "hash": h,
                 "pages_per_sec": round(n / best, 1)}
