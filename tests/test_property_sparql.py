@@ -165,16 +165,46 @@ def _ref_solutions(rows, patterns, filters, ne, proj):
             nxt.extend(match(pat, b))
         sols = nxt
 
+    def _eff_dt(term):
+        # effective datatype of a bound term: lang-tagged → langString,
+        # plain → xsd:string (mirrors _term_meta)
+        if term[0] == "iri":
+            return None
+        _, _v, dt, lang = term
+        if lang:
+            return "langString"
+        return dt or XSD_STR
+
     def cmp_ok(term, op, const):
-        # mirrors _cmp_dynamic: numeric when BOTH sides cast, else string
         val = term[1]
+        if op in ("=", "!="):
+            # mirrors _rdf_eq (SPARQL RDFterm-equal, r4): a literal never
+            # equals an IRI (plain False); two literals compare only when
+            # value-comparable (shared numeric domain) or same-kind (equal
+            # effective datatype + language tag) — otherwise TYPE ERROR,
+            # which a FILTER eliminates for = and != alike
+            cdt = XSD_INT if const.isdigit() else XSD_STR
+            if term[0] == "iri":
+                eq = False
+            else:
+                tdt = _eff_dt(term)
+                if tdt == XSD_INT and cdt == XSD_INT:
+                    eq = float(val) == float(const)
+                elif tdt == cdt:  # same effective dt, no lang on consts
+                    try:
+                        eq = float(val) == float(const)
+                    except ValueError:
+                        eq = val == const
+                else:
+                    return False  # type error → solution eliminated
+            return eq if op == "=" else not eq
+        # ordering ops keep _cmp_dynamic's lenient dispatch: numeric when
+        # BOTH sides cast, else string
         try:
             a, c = float(val), float(const)
         except ValueError:
             a, c = val, const
-        return {
-            "<": a < c, "<=": a <= c, "=": a == c, "!=": a != c, ">": a > c,
-        }[op]
+        return {"<": a < c, "<=": a <= c, ">": a > c}[op]
 
     for fv, op, const in filters:
         sols = [b for b in sols if fv in b and cmp_ok(b[fv], op, const)]
